@@ -1,0 +1,118 @@
+"""Tile intersection binning for the rasterizer.
+
+TPU-native replacement for gsplat's ``isect_tiles`` + ``isect_offset_encode``
+CUDA kernels (reference call sites strategies/base_engine.py:178-186). The CUDA
+version builds a dynamically-sized (gaussian, tile) instance list and radix-sorts
+it by a packed (tile | depth-bits) key. Under XLA everything must be static
+shape, so we:
+
+  1. stable-sort the N Gaussians by depth once (N << number of instances),
+  2. expand to instances into a fixed-capacity padded buffer. Because the
+     expansion is gaussian-major over the depth-sorted order, instances are
+     already depth-ordered *within* every tile,
+  3. stable-sort instances by tile id only (single int32 key — cheaper than the
+     packed 64-bit key sort, and preserves the in-tile depth order),
+  4. per-tile start offsets via searchsorted (the isect_offset_encode analogue).
+
+Tie-breaking matches the CUDA stable radix sort: equal (tile, depth) pairs keep
+ascending gaussian order.
+
+Overflow policy: if the true instance count exceeds ``isect_cap`` the surplus
+instances are dropped (deepest-sorted gaussians lose tiles); callers read
+``n_isects`` and re-run with a larger bucketed capacity next step (SURVEY.md
+§7.2: fixed-capacity padded buffers + counts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class IsectResults(NamedTuple):
+    gauss_ids: jnp.ndarray  # (cap,) int32 index into the *input* gaussian arrays
+    tile_ids: jnp.ndarray  # (cap,) int32; == num_tiles for padding slots
+    tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32 start offsets
+    n_isects: jnp.ndarray  # () int32 true instance count (may exceed cap)
+
+
+def tile_bbox(means2d, radii, tile_size, tile_width, tile_height):
+    """Per-gaussian inclusive-exclusive tile bounds ([x0,x1) x [y0,y1))."""
+    r = radii
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_size), 0, tile_width)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / tile_size), 0, tile_width)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_size), 0, tile_height)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / tile_size), 0, tile_height)
+    return (
+        x0.astype(jnp.int32),
+        x1.astype(jnp.int32),
+        y0.astype(jnp.int32),
+        y1.astype(jnp.int32),
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("tile_size", "tile_width", "tile_height", "isect_cap")
+)
+def isect_tiles(
+    means2d,
+    radii,
+    depths,
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    isect_cap: int,
+) -> IsectResults:
+    """Bin one camera's projected Gaussians into 2D tiles.
+
+    Args:
+      means2d: (N, 2) screen positions. radii: (N,) with 0 = culled.
+      depths: (N,) camera-space z.
+      isect_cap: static instance capacity (padded).
+
+    Returns IsectResults; instances are grouped by tile (ascending), ordered by
+    depth (ascending, stable) within each tile.
+    """
+    num_tiles = tile_width * tile_height
+    n = means2d.shape[0]
+
+    # 1. depth-sort gaussians (culled ones to the back via +inf depth).
+    d_key = jnp.where(radii > 0, depths, jnp.inf)
+    _, order = jax.lax.sort(
+        (d_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    m2d_s = means2d[order]
+    r_s = radii[order]
+
+    x0, x1, y0, y1 = tile_bbox(m2d_s, r_s, tile_size, tile_width, tile_height)
+    wds = x1 - x0
+    counts = jnp.where(r_s > 0, wds * (y1 - y0), 0)
+    cum = jnp.cumsum(counts)
+    n_isects = cum[-1]
+    starts = cum - counts
+
+    # 2. instance expansion into the fixed-capacity buffer.
+    slots = jnp.arange(isect_cap, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    g = jnp.minimum(g, n - 1)
+    valid = slots < n_isects
+    local = slots - starts[g]
+    w = jnp.maximum(wds[g], 1)
+    ty = y0[g] + local // w
+    tx = x0[g] + local % w
+    tile = jnp.where(valid, ty * tile_width + tx, num_tiles)
+
+    # 3. stable sort instances by tile id, carrying sorted-gaussian position.
+    _, g_sorted = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
+    tile_sorted = jnp.sort(tile)
+
+    # 4. per-tile offsets (isect_offset_encode analogue).
+    tile_offsets = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    gauss_ids = order[g_sorted]
+    return IsectResults(gauss_ids, tile_sorted, tile_offsets, n_isects)
