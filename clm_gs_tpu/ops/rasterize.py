@@ -4,14 +4,19 @@ TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
 (reference call site strategies/base_engine.py:192-203). Design:
 
   - The binning stage (ops/tiles.py) yields a flat instance list grouped by
-    tile and depth-ordered within each tile, plus per-tile [start, end) offsets.
-  - Per-instance attributes are pre-gathered (one XLA gather) into a single
-    (cap + K, 16) f32 array so the kernel only ever issues *contiguous* dynamic
-    -slice DMAs — no in-kernel gathers, which TPUs do not do well.
+    tile and depth-ordered within each tile. Per-tile ranges are re-laid so
+    each starts at a 128-aligned slot (align_tile_ranges) — TPU DMA slices
+    along the instance axis must be lane-aligned.
+  - Per-instance attributes are pre-gathered (9 XLA gathers) into a single
+    *transposed* (16, cap) f32 array — attribute rows, instance lanes. That
+    layout has zero HBM padding waste under the (8, 128) f32 tiling, and the
+    kernel only ever issues contiguous, aligned dynamic-slice DMAs; no
+    in-kernel gathers, which TPUs do not do well.
   - The kernel runs a 1-D grid over tiles. Each program composites its
-    TILE x TILE (=P) pixels by looping over K-instance chunks: VPU-vectorized
-    alpha evaluation over the (K, P) matrix, then a Hillis-Steele cumulative
-    product along the instance axis to get per-instance transmittance.
+    TILE x TILE (=P) pixels by looping over K-instance chunks: one small
+    (16, K) -> (K, 16) transpose, then VPU-vectorized alpha evaluation over
+    the (K, P) matrix and a Hillis-Steele cumulative product along the
+    instance (sublane) axis for per-instance transmittance.
 
 Sequential-termination semantics (exactly gsplat's): alpha = min(0.999,
 opac*exp(-sigma)); alpha < 1/255 skipped; a pixel stops *before* compositing
@@ -31,8 +36,8 @@ ctilde = [rgb, 1] the 4-channel color,
 
 and the contraction of A_k with the incoming cotangent collapses to a single
 cumulative sum of w * (ctilde @ v) — no per-channel prefix arrays needed.
-Per-instance gradients are written back to a flat (cap + K, 16) buffer and
-scattered to per-Gaussian gradients by the autodiff transpose of the gather
+Per-instance gradients are written back to a flat (16, cap) buffer and
+scattered to per-Gaussian gradients by the autodiff transpose of the gathers
 (segment-sum; atomics-free by construction, SURVEY.md §7.2 hard-part #1).
 """
 
@@ -47,18 +52,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clm_gs_tpu.ops.tiles import isect_tiles
+from clm_gs_tpu.ops.tiles import align_tile_ranges, isect_tiles
 
 TILE = 16
 P = TILE * TILE  # 256 pixels per tile
 K = 256  # instances per chunk
+ALIGN = 128  # per-tile range alignment (f32 lane width)
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-# attrs column layout
+# attrs row layout (transposed: (ATTR_ROWS, cap))
 _MX, _MY, _CA, _CB, _CC, _OP, _R, _G, _B = range(9)
-ATTR_COLS = 16
+ATTR_ROWS = 16
 
 
 def _interpret_mode():
@@ -97,14 +103,18 @@ def _pixel_coords(t, tile_width):
     return pxf, pyf
 
 
-def _chunk_geometry(buf, pxf, pyf, cbase, n):
-    """Shared fwd/bwd per-chunk alpha math. Returns dict of (K,P)/(K,1) arrays."""
-    mx = buf[:, _MX : _MX + 1]
-    my = buf[:, _MY : _MY + 1]
-    ca = buf[:, _CA : _CA + 1]
-    cb = buf[:, _CB : _CB + 1]
-    cc = buf[:, _CC : _CC + 1]
-    op = buf[:, _OP : _OP + 1]
+def _chunk_geometry(buf_t, pxf, pyf, cbase, n):
+    """Shared fwd/bwd per-chunk alpha math.
+
+    buf_t: (K, ATTR_ROWS) chunk attributes (already transposed).
+    Returns dict of (K, P) / (K, 1) arrays.
+    """
+    mx = buf_t[:, _MX : _MX + 1]
+    my = buf_t[:, _MY : _MY + 1]
+    ca = buf_t[:, _CA : _CA + 1]
+    cb = buf_t[:, _CB : _CB + 1]
+    cc = buf_t[:, _CC : _CC + 1]
+    op = buf_t[:, _OP : _OP + 1]
     dx = pxf - mx  # (K, P)
     dy = pyf - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
@@ -117,7 +127,7 @@ def _chunk_geometry(buf, pxf, pyf, cbase, n):
     return dict(
         dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, vis=vis, ga=ga, a=a, ok=ok,
         ctilde=jnp.concatenate(
-            [buf[:, _R : _B + 1], jnp.ones((K, 1), jnp.float32)], axis=1
+            [buf_t[:, _R : _B + 1], jnp.ones((K, 1), jnp.float32)], axis=1
         ),
     )
 
@@ -132,43 +142,59 @@ def _chunk_compositing(g, T, done):
     dead = _cum_incl(viol.astype(jnp.float32), jnp.add, 0.0) > 0
     keep = jnp.logical_not(dead) & jnp.logical_not(done)
     w = jnp.where(keep, a * T_excl, 0.0)
-    T_new = T * jnp.prod(jnp.where(keep, om, 1.0), axis=0, keepdims=True)
+    # Mosaic has no reduce_prod; product over kept rows via exp-sum-log.
+    T_new = T * jnp.exp(
+        jnp.sum(jnp.where(keep, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
+    )
     done_new = done | jnp.any(viol, axis=0, keepdims=True)
     return w, T_excl, keep, T_new, done_new
 
 
-def _fwd_kernel(off_ref, bg_ref, attrs_ref, out_ref, buf_ref, sem_ref, *, tile_width):
+def _fwd_kernel(
+    starts_ref, counts_ref, bg_ref, attrs_ref, out_ref,
+    buf_ref, t_ref, done_ref, acc_ref, sem_ref, *, tile_width,
+):
+    # Mosaic cannot carry small vectors through scf.while; all vector state
+    # (T, done, acc) lives in VMEM scratch and the loop carries scalars only.
     t = pl.program_id(0)
-    start = off_ref[t]
-    n = off_ref[t + 1] - start
+    start = starts_ref[t]
+    n = counts_ref[t]
     nchunks = (n + K - 1) // K
     pxf, pyf = _pixel_coords(t, tile_width)
 
+    t_ref[:] = jnp.ones((1, P), jnp.float32)
+    done_ref[:] = jnp.zeros((1, P), jnp.float32)
+    acc_ref[:] = jnp.zeros((4, P), jnp.float32)
+
     def cond(carry):
-        c, T, done, acc = carry
-        return (c < nchunks) & jnp.logical_not(jnp.all(done))
+        c, alldone = carry
+        return (c < nchunks) & (alldone == 0)
 
     def body(carry):
-        c, T, done, acc = carry
+        c, _ = carry
+        s0 = pl.multiple_of(start + c * K, ALIGN)
         dma = pltpu.make_async_copy(
-            attrs_ref.at[pl.ds(start + c * K, K), :], buf_ref, sem_ref
+            attrs_ref.at[:, pl.ds(s0, K)], buf_ref, sem_ref
         )
         dma.start()
         dma.wait()
-        g = _chunk_geometry(buf_ref[:], pxf, pyf, c * K, n)
-        w, _, _, T, done = _chunk_compositing(g, T, done)
-        acc = acc + jax.lax.dot_general(
+        g = _chunk_geometry(jnp.transpose(buf_ref[:], (1, 0)), pxf, pyf, c * K, n)
+        done = done_ref[:] > 0.5
+        w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             g["ctilde"], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (4, P)
-        return c + 1, T, done, acc
+        t_ref[:] = T_new
+        done_ref[:] = done_new.astype(jnp.float32)
+        alldone = (jnp.min(done_new.astype(jnp.float32)) > 0.5).astype(jnp.int32)
+        return c + 1, alldone
 
-    T0 = jnp.ones((1, P), jnp.float32)
-    done0 = jnp.zeros((1, P), jnp.bool_)
-    acc0 = jnp.zeros((4, P), jnp.float32)
-    _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    jax.lax.while_loop(cond, body, (0, 0))
 
-    out = jnp.concatenate(
+    T = t_ref[:]
+    acc = acc_ref[:]
+    out_ref[0] = jnp.concatenate(
         [
             acc[0:1, :] + T * bg_ref[0],
             acc[1:2, :] + T * bg_ref[1],
@@ -177,16 +203,15 @@ def _fwd_kernel(off_ref, bg_ref, attrs_ref, out_ref, buf_ref, sem_ref, *, tile_w
         ],
         axis=0,
     )
-    out_ref[0] = out
 
 
 def _bwd_kernel(
-    off_ref, attrs_ref, res_ref, v_ref, grads_ref, buf_ref, gbuf_ref, sem_ref, wsem_ref,
-    *, tile_width,
+    starts_ref, counts_ref, attrs_ref, res_ref, v_ref, grads_ref,
+    buf_ref, gbuf_ref, t_ref, done_ref, e_ref, sem_ref, wsem_ref, *, tile_width,
 ):
     t = pl.program_id(0)
-    start = off_ref[t]
-    n = off_ref[t + 1] - start
+    start = starts_ref[t]
+    n = counts_ref[t]
     nchunks = (n + K - 1) // K
     pxf, pyf = _pixel_coords(t, tile_width)
 
@@ -194,14 +219,19 @@ def _bwd_kernel(
     total4 = res_ref[0]  # (4, P) fwd output
     d_tot = jnp.sum(v4 * total4, axis=0, keepdims=True)  # (1, P)
 
+    t_ref[:] = jnp.ones((1, P), jnp.float32)
+    done_ref[:] = jnp.zeros((1, P), jnp.float32)
+    e_ref[:] = jnp.zeros((1, P), jnp.float32)
+
     def body(c, carry):
-        T, done, E = carry
+        T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
+        s0 = pl.multiple_of(start + c * K, ALIGN)
         dma = pltpu.make_async_copy(
-            attrs_ref.at[pl.ds(start + c * K, K), :], buf_ref, sem_ref
+            attrs_ref.at[:, pl.ds(s0, K)], buf_ref, sem_ref
         )
         dma.start()
         dma.wait()
-        g = _chunk_geometry(buf_ref[:], pxf, pyf, c * K, n)
+        g = _chunk_geometry(jnp.transpose(buf_ref[:], (1, 0)), pxf, pyf, c * K, n)
         w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
         # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
@@ -230,43 +260,46 @@ def _bwd_kernel(
         v_mx = -jnp.sum((g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True)
         v_my = -jnp.sum((g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True)
 
-        gbuf_ref[:] = jnp.concatenate(
+        gbuf = jnp.concatenate(
             [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
-             jnp.zeros((K, ATTR_COLS - 9), jnp.float32)],
+             jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
             axis=1,
-        )
+        )  # (K, 16)
+        gbuf_ref[:] = jnp.transpose(gbuf, (1, 0))  # (16, K)
         wdma = pltpu.make_async_copy(
-            gbuf_ref, grads_ref.at[pl.ds(start + c * K, K), :], wsem_ref
+            gbuf_ref, grads_ref.at[:, pl.ds(s0, K)], wsem_ref
         )
         wdma.start()
         wdma.wait()
 
-        E = E + cum_wd[K - 1 : K, :]
-        return T_new, done_new, E
+        t_ref[:] = T_new
+        done_ref[:] = done_new.astype(jnp.float32)
+        e_ref[:] = E + cum_wd[K - 1 : K, :]
+        return carry
 
-    T0 = jnp.ones((1, P), jnp.float32)
-    done0 = jnp.zeros((1, P), jnp.bool_)
-    E0 = jnp.zeros((1, P), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (T0, done0, E0))
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _rasterize_sorted(attrs, tile_offsets, background, num_tiles_w_h):
-    out, _ = _rasterize_sorted_fwd(attrs, tile_offsets, background, num_tiles_w_h)
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _rasterize_sorted(attrs_t, starts, counts, background, num_tiles_w_h):
+    out, _ = _rasterize_sorted_fwd(attrs_t, starts, counts, background, num_tiles_w_h)
     return out
 
 
-def _rasterize_sorted_fwd(attrs, tile_offsets, background, num_tiles_w_h):
+def _rasterize_sorted_fwd(attrs_t, starts, counts, background, num_tiles_w_h):
     tw, th = num_tiles_w_h
     num_tiles = tw * th
     bg4 = jnp.concatenate([background, jnp.zeros((1,), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((K, ATTR_COLS), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((4, P), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -278,45 +311,48 @@ def _rasterize_sorted_fwd(attrs, tile_offsets, background, num_tiles_w_h):
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret_mode(),
-    )(tile_offsets, bg4, attrs)
-    return out, (attrs, tile_offsets, background, out)
+    )(starts, counts, bg4, attrs_t)
+    return out, (attrs_t, starts, counts, background, out)
 
 
 def _rasterize_sorted_bwd(num_tiles_w_h, res, v_out):
-    attrs, tile_offsets, background, out = res
+    attrs_t, starts, counts, background, out = res
     tw, th = num_tiles_w_h
     num_tiles = tw * th
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((K, ATTR_COLS), jnp.float32),
-            pltpu.VMEM((K, ATTR_COLS), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    v_attrs = pl.pallas_call(
+    v_attrs_t = pl.pallas_call(
         functools.partial(_bwd_kernel, tile_width=tw),
-        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
         interpret=_interpret_mode(),
-    )(tile_offsets, attrs, out, v_out)
+    )(starts, counts, attrs_t, out, v_out)
     # background cotangent: sum_p T_final[p] * v_rgb[:, p]
     t_final = 1.0 - out[:, 3, :]  # (num_tiles, P)
     v_bg = jnp.einsum("tp,tcp->c", t_final, v_out[:, 0:3, :])
-    v_offsets = np.zeros(tile_offsets.shape, dtype=jax.dtypes.float0)
-    return v_attrs, v_offsets, v_bg
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return v_attrs_t, f0(starts), f0(counts), v_bg
 
 
 _rasterize_sorted.defvjp(_rasterize_sorted_fwd, _rasterize_sorted_bwd)
@@ -347,33 +383,37 @@ def rasterize(
     """
     tw = -(-width // TILE)
     th = -(-height // TILE)
+    num_tiles = tw * th
+    # aligned layout capacity: every tile may waste up to ALIGN-1 slots, plus
+    # K slack for the final tile's chunk overrun.
+    cap_padded = isect_cap + ALIGN * num_tiles + K
     isect = isect_tiles(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(radii),
         jax.lax.stop_gradient(depths),
         TILE, tw, th, isect_cap,
     )
-    ids = isect.gauss_ids
-    # `where` (not multiply): its VJP *selects*, so garbage/NaN rows of the
-    # backward kernel's unwritten padding slots are dropped rather than turned
-    # into NaN * 0 before the scatter-add back to per-Gaussian grads.
-    valid = (isect.tile_ids < tw * th)[:, None]
-    attrs = jnp.where(
-        valid,
-        jnp.concatenate(
-            [
-                means2d[ids],
-                conics[ids],
-                opacities[ids, None],
-                colors[ids],
-                jnp.zeros((isect_cap, ATTR_COLS - 9), jnp.float32),
-            ],
-            axis=1,
-        ),
-        0.0,
-    )
-    attrs = jnp.pad(attrs, ((0, K), (0, 0)))
-    out = _rasterize_sorted(attrs, isect.tile_offsets, background, (tw, th))
+    ids, starts, counts = align_tile_ranges(isect, num_tiles, ALIGN, cap_padded)
+    valid = ids >= 0
+    idc = jnp.maximum(ids, 0)
+
+    def row(x):
+        # `where` (not multiply): its VJP *selects*, so garbage/NaN in the
+        # backward kernel's unwritten padding slots is dropped rather than
+        # turned into NaN * 0 before the scatter-add back to per-Gaussian grads.
+        return jnp.where(valid, x[idc], 0.0)
+
+    attrs_t = jnp.stack(
+        [
+            row(means2d[:, 0]), row(means2d[:, 1]),
+            row(conics[:, 0]), row(conics[:, 1]), row(conics[:, 2]),
+            row(opacities),
+            row(colors[:, 0]), row(colors[:, 1]), row(colors[:, 2]),
+        ]
+        + [jnp.zeros((cap_padded,), jnp.float32)] * (ATTR_ROWS - 9),
+        axis=0,
+    )  # (16, cap_padded)
+    out = _rasterize_sorted(attrs_t, starts, counts, background, (tw, th))
     # (num_tiles, 4, P) -> (4, th*TILE, tw*TILE) -> crop
     img = out.reshape(th, tw, 4, TILE, TILE)
     img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(4, th * TILE, tw * TILE)

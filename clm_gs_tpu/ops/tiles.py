@@ -116,3 +116,30 @@ def isect_tiles(
 
     gauss_ids = order[g_sorted]
     return IsectResults(gauss_ids, tile_sorted, tile_offsets, n_isects)
+
+
+def align_tile_ranges(res: IsectResults, num_tiles: int, align: int, cap_padded: int):
+    """Re-lay the sorted instance list so every tile's range starts at a
+    multiple of `align` (TPU DMA slices along the instance axis must be
+    lane-aligned). Returns:
+
+      ids_padded: (cap_padded,) int32 gaussian index per slot, -1 = padding
+      starts:     (num_tiles + 1,) int32 aligned start offsets
+      counts:     (num_tiles,) int32 true per-tile instance counts
+    """
+    counts = jnp.diff(res.tile_offsets)
+    pad_counts = ((counts + align - 1) // align) * align
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts).astype(jnp.int32)]
+    )
+    t = jnp.minimum(res.tile_ids, num_tiles - 1)
+    valid = res.tile_ids < num_tiles
+    idx = jnp.arange(res.gauss_ids.shape[0], dtype=jnp.int32)
+    pos = starts[t] + (idx - res.tile_offsets[t])
+    pos = jnp.where(valid, pos, cap_padded)
+    ids_padded = (
+        jnp.full((cap_padded,), -1, jnp.int32)
+        .at[pos]
+        .set(res.gauss_ids, mode="drop")
+    )
+    return ids_padded, starts, counts

@@ -1,0 +1,126 @@
+"""no_offload strategy: everything resident in HBM.
+
+The TPU analogue of strategies/no_offload/engine.py — the all-on-accelerator
+baseline. The reference's microbatch pipelining with per-attribute detach
+layers (engine.py:121-175, grads accumulated across cameras into one .grad per
+tensor) becomes a `lax.scan` over cameras with value_and_grad inside the body:
+activation memory stays O(one image) and parameter gradients accumulate in the
+scan carry. The Adam step divides accumulated grads by bsz first
+(train.py:533-577).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from clm_gs_tpu.models.densify import add_densification_stats
+from clm_gs_tpu.models.gaussians import GaussianParams, GaussianState
+from clm_gs_tpu.optim import AdamConfig, AdamState, adam_step
+from clm_gs_tpu.strategies.base import photometric_loss, render_one_cam
+
+
+class StepOut(NamedTuple):
+    losses: jnp.ndarray  # (bsz,)
+    max_isects: jnp.ndarray  # () — for host-side isect_cap adaptation
+    visible_any: jnp.ndarray  # (C,) bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "isect_cap", "sparse_adam", "accumulate_stats"),
+)
+def train_step(
+    state: GaussianState,
+    opt_state: AdamState,
+    cams,  # CameraBatch pytree: viewmats (B,4,4), Ks (B,3,3), camtoworlds
+    gt_images,  # (B, 3, H, W) float in [0,1]
+    sh_degree,
+    lrs: Dict[str, jnp.ndarray],
+    adam_cfg: AdamConfig,
+    background,
+    width: int,
+    height: int,
+    isect_cap: int,
+    sparse_adam: bool = False,
+    accumulate_stats: bool = True,
+):
+    """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut)."""
+    params = state.params
+    alive = state.alive
+    C = params.capacity
+    bsz = gt_images.shape[0]
+
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+    def micro(carry, cam):
+        grads_acc, stats_acc, vis_any, max_isects = carry
+        viewmat, Kmat, c2w, gt = cam
+        campos = c2w[:3, 3]
+
+        def loss_fn(p, probe):
+            out = render_one_cam(
+                p, alive, viewmat, Kmat, campos, sh_degree,
+                width, height, background, isect_cap, probe=probe,
+            )
+            return photometric_loss(out.image, gt), out
+
+        probe0 = jnp.zeros((C, 2), jnp.float32)
+        (loss, out), (g_params, g_probe) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe0)
+
+        grads_acc = jax.tree.map(jnp.add, grads_acc, g_params)
+        vis = out.radii > 0
+        vis_any = vis_any | vis
+        max_isects = jnp.maximum(max_isects, out.n_isects)
+        if accumulate_stats:
+            g = g_probe * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
+            norm = jnp.linalg.norm(g, axis=-1)
+            stats_acc = (
+                stats_acc[0] + norm * vis, stats_acc[1] + vis.astype(jnp.float32),
+            )
+        return (grads_acc, stats_acc, vis_any, max_isects), loss
+
+    init = (
+        zero_grads,
+        (jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32)),
+        jnp.zeros(C, bool),
+        jnp.zeros((), jnp.int32),
+    )
+    cam_stack = (cams.viewmats, cams.Ks, cams.camtoworlds, gt_images)
+    (grads, stats, vis_any, max_isects), losses = jax.lax.scan(micro, init, cam_stack)
+
+    # grad /= bsz before Adam (train.py:533-577)
+    grads = jax.tree.map(lambda g: g / bsz, grads)
+
+    update_mask = (alive & vis_any) if sparse_adam else alive
+    new_params, new_opt = adam_step(params, grads, opt_state, lrs, adam_cfg, update_mask)
+
+    new_state = GaussianState(
+        params=new_params,
+        alive=alive,
+        n_alive=state.n_alive,
+        xyz_grad_accum=state.xyz_grad_accum + stats[0],
+        denom=state.denom + stats[1],
+        max_radii2d=state.max_radii2d,
+    )
+    return new_state, new_opt, StepOut(losses, max_isects, vis_any)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "isect_cap"))
+def eval_one_cam(
+    state: GaussianState, viewmat, Kmat, camtoworld, sh_degree,
+    background, width: int, height: int, isect_cap: int,
+):
+    """Render + metrics for one eval camera (baseline_accumGrads_micro_step
+    eval mode, no_offload/engine.py:15)."""
+    out = render_one_cam(
+        state.params, state.alive, viewmat, Kmat, camtoworld[:3, 3],
+        sh_degree, width, height, background, isect_cap,
+    )
+    return out.image, out.n_isects
