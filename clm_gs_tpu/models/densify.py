@@ -49,6 +49,13 @@ class DensifyInfo(NamedTuple):
     n_pruned: jnp.ndarray
     n_alive: jnp.ndarray
     overflow: jnp.ndarray  # bool: ran out of capacity (host must grow + retry)
+    # Row-movement plan, so offload strategies can replay clone/split on
+    # host-resident SH buffers (the reference's CPU-side pinned-buffer row
+    # copies, clm_offload/gaussian_model.py:687-831). dest == capacity means
+    # "no row written for this source".
+    clone_dest: jnp.ndarray = None  # (C,) int32
+    split_dest: jnp.ndarray = None  # (n_split_samples, C) int32
+    written: jnp.ndarray = None  # (C,) bool — slots written this round
 
 
 def _masks(state: GaussianState, grad_threshold, percent_dense, extent):
@@ -70,7 +77,7 @@ def count_densify(state: GaussianState, grad_threshold, percent_dense, extent):
     return jnp.sum(clone_mask) + 2 * jnp.sum(split_mask)
 
 
-@partial(jax.jit, static_argnames=("n_split_samples",))
+@partial(jax.jit, static_argnames=("n_split_samples", "include_sh"))
 def densify_and_prune(
     state: GaussianState,
     opt_state: AdamState,
@@ -81,8 +88,14 @@ def densify_and_prune(
     percent_dense: float,
     size_prune: jnp.ndarray,
     n_split_samples: int = 2,
+    include_sh: bool = True,
 ):
-    """One densification round. Returns (state, opt_state, DensifyInfo)."""
+    """One densification round. Returns (state, opt_state, DensifyInfo).
+
+    include_sh=False: the SH buffer lives on the host (clm strategy) and is a
+    tiny placeholder here — row movements are skipped on device and replayed
+    host-side from the returned plan (opt_state may be None likewise).
+    """
     C = state.capacity
     p = state.params
     clone_mask, split_mask, smax = _masks(state, grad_threshold, percent_dense, extent)
@@ -134,22 +147,24 @@ def densify_and_prune(
             opacity=sc(dest_params.opacity, p.opacity),
             log_scale=sc(dest_params.log_scale, log_scale),
             quat=sc(dest_params.quat, p.quat),
-            sh=sc(dest_params.sh, p.sh),
+            sh=sc(dest_params.sh, p.sh) if include_sh else dest_params.sh,
         ), dest
 
     new_params = p
     written = jnp.zeros(C, bool)
     # clones
     cm = clone_mask & clone_survives & ~overflow
-    new_params, dest = scatter_rows(new_params, cm, 0, p.xyz, p.log_scale)
-    written = written.at[dest].set(cm, mode="drop")
+    new_params, clone_dest = scatter_rows(new_params, cm, 0, p.xyz, p.log_scale)
+    written = written.at[clone_dest].set(cm, mode="drop")
     # splits: sample r occupies rank offset (clone_present? no: a source is
     # either clone or split, masks disjoint) -> offsets 0..N-1
+    sm = split_mask & split_survives & ~overflow
+    split_dests = []
     for r in range(N):
-        sm = split_mask & split_survives & ~overflow
         new_params, dest = scatter_rows(
             new_params, sm, r, split_xyz[r], split_log_scale
         )
+        split_dests.append(dest)
         written = written.at[dest].set(sm, mode="drop")
 
     alive_new = alive_after_prune | written
@@ -157,17 +172,22 @@ def densify_and_prune(
 
     # ---- optimizer state: zero moments at freshly-written rows ----
     def zero_written(x):
+        if x.shape[0] != C:  # host-managed placeholder group
+            return x
         bshape = (C,) + (1,) * (x.ndim - 1)
         return jnp.where(written.reshape(bshape), 0.0, x)
 
-    opt_state = AdamState(
-        mu=jax.tree.map(zero_written, opt_state.mu),
-        nu=jax.tree.map(zero_written, opt_state.nu),
-        steps=opt_state.steps,
-    )
+    if opt_state is not None:
+        opt_state = AdamState(
+            mu=jax.tree.map(zero_written, opt_state.mu),
+            nu=jax.tree.map(zero_written, opt_state.nu),
+            steps=opt_state.steps,
+        )
 
     # dead rows zeroed so masked projection sees benign values
     def clear_dead(x):
+        if x.shape[0] != C:
+            return x
         bshape = (C,) + (1,) * (x.ndim - 1)
         return jnp.where(alive_new.reshape(bshape), x, 0.0)
 
@@ -183,10 +203,15 @@ def densify_and_prune(
     )
     info = DensifyInfo(
         n_cloned=jnp.sum(cm),
-        n_split=jnp.sum(split_mask & ~overflow),
+        n_split=jnp.sum(sm),
         n_pruned=jnp.sum(prune_existing),
         n_alive=n_alive,
         overflow=overflow,
+        clone_dest=jnp.where(cm, clone_dest, C).astype(jnp.int32),
+        split_dest=jnp.stack(
+            [jnp.where(sm, dst, C).astype(jnp.int32) for dst in split_dests]
+        ),
+        written=written,
     )
     return new_state, opt_state, info
 

@@ -68,13 +68,11 @@ ATTR_ROWS = 16
 
 
 def _interpret_mode():
-    """Compiled Mosaic on TPU; TPU-semantics interpreter elsewhere (tests)."""
-    if jax.default_backend() == "tpu":
-        return False
-    try:
-        return pltpu.InterpretParams()
-    except Exception:
-        return True
+    """Compiled Mosaic on TPU; Pallas interpreter elsewhere (tests, CPU-mesh
+    dry runs). The basic interpreter, not the TPU-semantics one: the latter's
+    blocking semaphore emulation deadlocks when more virtual devices than host
+    cores execute kernels concurrently inside shard_map."""
+    return jax.default_backend() != "tpu"
 
 
 def _shift_down(x, s, fill):

@@ -113,11 +113,13 @@ def adam_step(
     new_p, new_m, new_v = {}, {}, {}
     for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
         p = getattr(params, name)
-        g = getattr(grads, name)
         m = getattr(state.mu, name)
         v = getattr(state.nu, name)
-        lr = lrs[name]
-        new_p[name], new_m[name], new_v[name] = upd(p, g, m, v, lr)
+        if name not in lrs:  # group managed elsewhere (clm: SH lives on host)
+            new_p[name], new_m[name], new_v[name] = p, m, v
+            continue
+        g = getattr(grads, name)
+        new_p[name], new_m[name], new_v[name] = upd(p, g, m, v, lrs[name])
 
     return (
         GaussianParams(**new_p),

@@ -1,0 +1,138 @@
+"""Scene orchestration (scene/__init__.py:33-277 analogue).
+
+Loads scene info (COLMAP / MatrixCity / Blender, auto-detected like
+sceneLoadTypeCallbacks), optionally truncates camera lists, pre-decodes all
+images to the raw disk cache, initializes the Gaussian state (from point cloud
+/ PLY / tensor checkpoint), and exposes train/test datasets plus the scene
+extent (cameras_extent drives the position LR scale and densification
+thresholds).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from clm_gs_tpu.config import Config
+from clm_gs_tpu.data import dataset as D
+from clm_gs_tpu.data import readers
+from clm_gs_tpu.data.cameras import Camera
+from clm_gs_tpu.models import gaussians as G
+from clm_gs_tpu.utils.general import next_capacity
+
+
+class Scene:
+    def __init__(self, cfg: Config, logger=None):
+        self.cfg = cfg
+        src = cfg.model.source_path
+        log = (logger.write if logger else print)
+
+        if os.path.exists(os.path.join(src, "train", "transforms.json")):
+            info = readers.read_city_scene(
+                src,
+                ply_path=cfg.aux.load_ply_path or _find_city_ply(src),
+                ocean_mask=cfg.aux.matrixcity_ocean_mask,
+            )
+        elif os.path.exists(os.path.join(src, "transforms_train.json")):
+            info = readers.read_blender_scene(
+                src, white_background=cfg.model.white_background
+            )
+        else:
+            info = readers.read_colmap_scene(
+                src, images_dir=cfg.model.images, eval_split=cfg.model.eval,
+                llffhold=cfg.aux.llffhold,
+            )
+        self.info = info
+        self.cameras_extent = info.nerf_normalization["radius"]
+
+        # deterministic shuffle like Scene.__init__ (seeded in safe_state)
+        train = list(info.train_cameras)
+        rng = random.Random(cfg.debug.seed)
+        rng.shuffle(train)
+        if cfg.opt.num_train_cameras > 0:
+            train = train[: cfg.opt.num_train_cameras]
+        test = list(info.test_cameras)
+        if cfg.opt.num_test_cameras > 0:
+            test = test[: cfg.opt.num_test_cameras]
+        self.train_cameras: List[Camera] = train
+        self.test_cameras: List[Camera] = test
+
+        # pre-decode all images to raw cache at the dataset-min size
+        all_cams = train + test
+        log(f"Pre-decoding {len(all_cams)} images to {cfg.aux.decode_dataset_path}\n")
+        self.width, self.height = D.predecode_dataset_to_disk(
+            all_cams, cfg.aux.decode_dataset_path,
+            num_workers=None if cfg.aux.multiprocesses_decode_dataset_to_disk else 1,
+        )
+        log(f"Image size: {self.width}x{self.height}\n")
+
+        # Gaussian init
+        if cfg.aux.load_pt_path:
+            self.gaussians = G.load_tensors(cfg.aux.load_pt_path)
+        elif cfg.aux.load_ply_path and cfg.aux.load_ply_path.endswith(".ply") and _is_model_ply(cfg.aux.load_ply_path):
+            self.gaussians = G.load_ply(cfg.aux.load_ply_path)
+        else:
+            pcd = info.point_cloud
+            assert pcd is not None, "no initial point cloud found"
+            cap = (
+                cfg.aux.prealloc_capacity
+                if cfg.aux.prealloc_capacity > 0
+                else None
+            )
+            self.gaussians = G.create_from_pcd(
+                pcd.points, pcd.colors, capacity=cap,
+                downsample_ratio=cfg.aux.initial_point_cloud_downsampled_ratio,
+                seed=cfg.debug.seed,
+            )
+        log(f"Initialized {int(self.gaussians.n_alive)} gaussians "
+            f"(capacity {self.gaussians.capacity})\n")
+
+    def train_dataset(self, bsz: int) -> D.SceneDataset:
+        return D.SceneDataset(
+            self.train_cameras, self.cfg.aux.decode_dataset_path,
+            self.width, self.height, bsz, seed=self.cfg.debug.seed,
+        )
+
+    def save(self, iteration: int, logger=None):
+        """PLY export with the RAM-bound auto-split heuristic
+        (scene/__init__.py:254-277)."""
+        out_dir = os.path.join(
+            self.cfg.model.model_path, "point_cloud", f"iteration_{iteration}"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        n = int(self.gaussians.n_alive)
+        try:
+            import psutil
+
+            avail = psutil.virtual_memory().available
+        except Exception:
+            avail = 1 << 40
+        chunk = None
+        if 16 * n * 59 * 4 > avail:  # the reference's 16*N*59*4 heuristic
+            chunk = max(1, avail // (16 * 59 * 4 * 2))
+        G.save_ply(
+            self.gaussians, os.path.join(out_dir, "point_cloud.ply"), chunk_rows=chunk
+        )
+        if self.cfg.debug.save_tensors:
+            G.save_tensors(self.gaussians, os.path.join(out_dir, "tensors.npz"))
+
+
+def _find_city_ply(src: str) -> Optional[str]:
+    for cand in ("point_cloud.ply", "points3d.ply", "pcd.ply"):
+        p = os.path.join(src, cand)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _is_model_ply(path: str) -> bool:
+    """Gaussian-model PLY (59-property schema) vs plain point cloud."""
+    try:
+        with open(path, "rb") as f:
+            header = f.read(4096).decode("ascii", errors="replace")
+        return "f_rest_44" in header
+    except Exception:
+        return False

@@ -1,0 +1,325 @@
+"""clm_offload strategy: hybrid placement + visibility-driven SH streaming.
+
+TPU analogue of strategies/clm_offload/engine.py (the paper's design,
+SURVEY.md §3.3). Placement: the selection-critical attributes (xyz, opacity,
+log_scale, quat — 11 floats) and their Adam moments stay in device HBM; the
+bulky SH coefficients (48 floats) and their Adam moments live in host DRAM
+(the device-side pytree carries a (1, 48) placeholder). Per batch:
+
+  1. [device]  visibility filters for all bsz cameras from the HBM attributes
+               only — no host traffic (calculate_filters, engine.py:369-386),
+  2. [host]    TSP over cameras on 1/32-sampled visibility bitmaps to maximize
+               consecutive-camera overlap (order_calculation :135-298; C++
+               fast_tsp via utils.native), optional rotate-min-sparsity-last,
+  3. [host]    last-use ("finish set") computation per Gaussian so host Adam
+               can start as soon as a row's final gradient has landed
+               (extract_ffs analogue :197-262),
+  4. per ordered camera: gather the visible SH rows from the host buffer
+     (native gather — the send_shs2gpu analogue's host half), async H2D of the
+     compact (v_cap, 48) working set, jitted fwd/bwd micro-step over the
+     compact visible set, D2H of the compact SH grads, scatter-add into the
+     host grad buffer (send_shs2cpu analogue), then submit the finished rows
+     to the background host-Adam worker (cpuadam_thread :301-335; the
+     signal-tensor/threadfence protocol becomes a ThreadPoolExecutor queue —
+     ordering is guaranteed by submission order on one worker thread),
+  5. [device]  Adam for the 4 HBM groups (grad/bsz; engine.py:869-882),
+  6. join the host worker (:898).
+
+Retention delta-transfers (H/D/G classification, engine.py:568-636) are a
+planned optimization on top of this structure; the current implementation
+re-gathers each camera's full visible set (correctness identical — retention
+only reduces PCIe traffic).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field, replace
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clm_gs_tpu.models.gaussians import GaussianParams, GaussianState
+from clm_gs_tpu.optim import AdamConfig, adam_step
+from clm_gs_tpu.strategies import offload_common as oc
+from clm_gs_tpu.strategies.no_offload import StepOut
+from clm_gs_tpu.utils import native
+from clm_gs_tpu.utils.general import round_up
+
+SH_COLS = 48
+
+
+@dataclass
+class ClmContext:
+    sh_host: np.ndarray  # (C, 48) canonical SH parameters (host DRAM)
+    sh_grad_host: np.ndarray  # (C, 48) streaming gradient buffer
+    adam: native.HostAdam
+    v_cap: int
+    executor: ThreadPoolExecutor = field(
+        default_factory=lambda: ThreadPoolExecutor(max_workers=1)
+    )
+    pending: List = field(default_factory=list)
+
+
+def make_context_empty(cfg, capacity: int, adam_cfg: AdamConfig) -> ClmContext:
+    """Zero-filled context (buffers restored afterwards via restore_extra)."""
+    return ClmContext(
+        sh_host=np.zeros((capacity, SH_COLS), np.float32),
+        sh_grad_host=np.zeros((capacity, SH_COLS), np.float32),
+        adam=native.HostAdam(
+            capacity, SH_COLS, np.zeros(SH_COLS, np.float32),
+            betas=adam_cfg.betas, eps=adam_cfg.eps,
+        ),
+        v_cap=max(round_up(min(capacity, 1 << 16), 1 << 12), 4096),
+    )
+
+
+def make_context(cfg, state: GaussianState, adam_cfg: AdamConfig) -> ClmContext:
+    C = state.capacity
+    sh_host = np.asarray(state.params.sh, np.float32).copy()
+    assert sh_host.shape == (C, SH_COLS), (
+        "state is already SH-stripped; use make_context_empty + restore_extra"
+    )
+    return ClmContext(
+        sh_host=sh_host,
+        sh_grad_host=np.zeros((C, SH_COLS), np.float32),
+        adam=native.HostAdam(
+            C, SH_COLS, np.zeros(SH_COLS, np.float32),
+            betas=adam_cfg.betas, eps=adam_cfg.eps,
+        ),
+        v_cap=max(round_up(min(C, 1 << 16), 1 << 12), 4096),
+    )
+
+
+def strip_device_sh(state: GaussianState) -> GaussianState:
+    """Replace the device SH buffer with a (1, 48) placeholder — HBM holds
+    only the 11 selection-critical floats per Gaussian (the paper's core
+    memory saving, clm_offload/gaussian_model.py:89-104)."""
+    return replace(
+        state,
+        params=replace(state.params, sh=jnp.zeros((1, SH_COLS), jnp.float32)),
+    )
+
+
+def materialize(state: GaussianState, ctx: ClmContext) -> GaussianState:
+    """Full state with SH restored from the host buffer (for PLY export)."""
+    return replace(state, params=replace(state.params, sh=jnp.asarray(ctx.sh_host)))
+
+
+def grow_context(ctx: ClmContext, new_cap: int, cfg) -> ClmContext:
+    for name in ("sh_host", "sh_grad_host"):
+        old = getattr(ctx, name)
+        new = np.zeros((new_cap, SH_COLS), np.float32)
+        new[: len(old)] = old
+        setattr(ctx, name, new)
+    ctx.adam.grow(new_cap)
+    return ctx
+
+
+def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
+    """Camera order + per-position finish sets (order_calculation,
+    engine.py:135-298)."""
+    B = len(counts_np)
+    order = native.find_tour(dist)
+    if reorder_min_last and B > 1:
+        # rotate so the sparsest camera is last (engine.py:181-190)
+        k = int(np.argmin(counts_np[order]))
+        order = np.concatenate([order[k + 1 :], order[: k + 1]])
+    C = len(alive_np)
+    last_use = np.full(C, -1, np.int64)
+    for pos, cam in enumerate(order):
+        v = idx_np[cam][: counts_np[cam]]
+        last_use[v] = pos
+    finish_sets = [
+        np.nonzero(last_use == pos)[0].astype(np.int32) for pos in range(B)
+    ]
+    never = np.nonzero((last_use == -1) & alive_np)[0].astype(np.int32)
+    return order, finish_sets, never
+
+
+def train_one_batch(
+    state, opt_state, ctx: ClmContext, cams, gt, sh_degree,
+    lrs, adam_cfg, background, width, height, isect_cap, cfg,
+):
+    p = state.params
+    C = state.capacity
+    bsz = gt.shape[0]
+    gt = jnp.asarray(gt)
+
+    # 1. visibility filters (device, GPU attrs only)
+    F = oc.calculate_filters(
+        p.xyz, p.quat, p.log_scale, state.alive, cams.viewmats, cams.Ks,
+        width, height, cfg.model.radius_clip, ctx.v_cap,
+    )
+    counts_np = np.asarray(F.counts)
+    if counts_np.max() >= ctx.v_cap:
+        ctx.v_cap = round_up(int(counts_np.max() * 1.3) + 1, 1 << 12)
+        F = oc.calculate_filters(
+            p.xyz, p.quat, p.log_scale, state.alive, cams.viewmats, cams.Ks,
+            width, height, cfg.model.radius_clip, ctx.v_cap,
+        )
+    idx_np = np.asarray(F.idx)
+
+    # 2-3. TSP order + finish sets (host)
+    dist = np.asarray(oc.hamming_distance_matrix(F.sample))
+    alive_np = np.asarray(state.alive)
+    order, finish_sets, never_visible = _order_and_finish_sets(
+        idx_np, counts_np, dist, alive_np, cfg.aux.reorder_by_min_sparsity_at_end
+    )
+
+    # host adam hyper-state for this batch
+    ctx.adam.lr_cols = np.ascontiguousarray(np.asarray(lrs["sh"]), np.float32)
+    ctx.adam.step_count += 1
+    step = ctx.adam.step_count
+    grad_scale = 1.0 / bsz
+    sparse_adam = cfg.aux.sparse_adam
+
+    # 4. microbatch loop
+    gpu_grads = {
+        n: jnp.zeros_like(getattr(p, n))
+        for n in ("xyz", "opacity", "log_scale", "quat")
+    }
+    accum = jnp.zeros(C, jnp.float32)
+    denom = jnp.zeros(C, jnp.float32)
+    vis_any = jnp.zeros(C, bool)
+    losses = []
+    max_isects = jnp.zeros((), jnp.int32)
+    futures = []
+
+    for pos, cam_i in enumerate(order):
+        cam_i = int(cam_i)
+        n_vis = int(counts_np[cam_i])
+        idx_k = idx_np[cam_i]
+        # host gather of the visible SH rows (send_shs2gpu host half); padded
+        # rows gather row 0 — masked out by idx >= C inside the micro step.
+        gather_idx = np.where(idx_k < C, idx_k, 0).astype(np.int32)
+        sh_rows = native.gather_rows(ctx.sh_host, gather_idx)
+        shc = jax.device_put(sh_rows)  # async H2D of the compact working set
+
+        out = oc.micro_step_visible(
+            p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[cam_i],
+            cams.viewmats[cam_i], cams.Ks[cam_i], cams.camtoworlds[cam_i][:3, 3],
+            gt[cam_i], sh_degree, background, width, height, isect_cap, ctx.v_cap,
+        )
+        for n in gpu_grads:
+            gpu_grads[n] = gpu_grads[n] + out.gpu_grads[n]
+        accum, denom = oc.scatter_stats(
+            accum, denom, F.idx[cam_i], out.probe_grad, out.radii_compact,
+            width, height,
+        )
+        vis_any = vis_any.at[jnp.minimum(F.idx[cam_i], C - 1)].max(
+            F.idx[cam_i] < C
+        )
+        losses.append(out.loss)
+        max_isects = jnp.maximum(max_isects, out.n_isects)
+
+        # D2H of compact SH grads -> scatter-add into the host grad buffer
+        sh_grad_np = np.asarray(out.sh_grad_compact)[:n_vis]
+        native.scatter_add_rows(
+            ctx.sh_grad_host, sh_grad_np, idx_k[:n_vis], accumulate=True
+        )
+
+        # eager host Adam on rows whose last use just passed (cpuadam_thread)
+        rows = finish_sets[pos]
+        if pos == 0 and not sparse_adam and len(never_visible):
+            rows = np.concatenate([never_visible, rows])
+        if len(rows):
+            futures.append(
+                ctx.executor.submit(
+                    ctx.adam.sparse_step, ctx.sh_host, ctx.sh_grad_host, rows,
+                    grad_scale, step,
+                )
+            )
+
+    # 5. device Adam for the 4 HBM groups
+    grads = GaussianParams(
+        xyz=gpu_grads["xyz"] / bsz,
+        opacity=gpu_grads["opacity"] / bsz,
+        log_scale=gpu_grads["log_scale"] / bsz,
+        quat=gpu_grads["quat"] / bsz,
+        sh=jnp.zeros_like(p.sh),
+    )
+    gpu_lrs = {k: lrs[k] for k in ("xyz", "opacity", "log_scale", "quat")}
+    update_mask = (state.alive & vis_any) if sparse_adam else state.alive
+    new_params, new_opt = adam_step(p, grads, opt_state, gpu_lrs, adam_cfg, update_mask)
+
+    # 6. join host workers (engine.py:898)
+    for f in futures:
+        f.result()
+
+    new_state = GaussianState(
+        params=new_params, alive=state.alive, n_alive=state.n_alive,
+        xyz_grad_accum=state.xyz_grad_accum + accum,
+        denom=state.denom + denom,
+        max_radii2d=state.max_radii2d,
+    )
+    return new_state, new_opt, ctx, StepOut(jnp.stack(losses), max_isects, vis_any)
+
+
+def post_densify(ctx: ClmContext, state: GaussianState, info):
+    """Replay the densification row-movement plan on the host SH buffers
+    (the reference's CPU-side pinned-buffer row copies,
+    clm_offload/gaussian_model.py:609-699): clone/split children copy the
+    source row's SH; moments and pending grads of written rows reset."""
+    C = state.capacity
+    clone_dest = np.asarray(info.clone_dest)
+    src = np.nonzero(clone_dest < C)[0]
+    ctx.sh_host[clone_dest[src]] = ctx.sh_host[src]
+    for r in range(info.split_dest.shape[0]):
+        sd = np.asarray(info.split_dest[r])
+        src = np.nonzero(sd < C)[0]
+        ctx.sh_host[sd[src]] = ctx.sh_host[src]
+    written = np.asarray(info.written)
+    ctx.adam.exp_avg[written] = 0.0
+    ctx.adam.exp_avg_sq[written] = 0.0
+    ctx.sh_grad_host[written] = 0.0
+    return ctx
+
+
+def post_opacity_reset(ctx: ClmContext, state: GaussianState):
+    return ctx  # opacity lives on device; SH untouched
+
+
+def checkpoint_extra(ctx: ClmContext) -> dict:
+    return {
+        "clm.sh_host": ctx.sh_host,
+        "clm.exp_avg": ctx.adam.exp_avg,
+        "clm.exp_avg_sq": ctx.adam.exp_avg_sq,
+        "clm.step_count": np.asarray(ctx.adam.step_count),
+    }
+
+
+def restore_extra(ctx: ClmContext, arrays: dict) -> ClmContext:
+    ctx.sh_host = np.ascontiguousarray(arrays["clm.sh_host"], np.float32)
+    ctx.adam.exp_avg = np.ascontiguousarray(arrays["clm.exp_avg"], np.float32)
+    ctx.adam.exp_avg_sq = np.ascontiguousarray(arrays["clm.exp_avg_sq"], np.float32)
+    ctx.adam.step_count = int(arrays["clm.step_count"])
+    ctx.sh_grad_host = np.zeros_like(ctx.sh_host)
+    return ctx
+
+
+def eval_one_cam(
+    state_and_ctx, viewmat, Kmat, camtoworld, sh_degree, background,
+    width, height, isect_cap,
+):
+    """clm eval: filter, gather host SH rows for the visible set, render
+    (clm_offload_eval_one_cam, engine.py:928-979). `state_and_ctx` is the
+    (GaussianState, ClmContext) pair bound by the driver."""
+    state, ctx = state_and_ctx
+    p = state.params
+    C = state.capacity
+    F = oc.calculate_filters(
+        p.xyz, p.quat, p.log_scale, state.alive, viewmat[None], Kmat[None],
+        width, height, 0.0, ctx.v_cap,
+    )
+    idx_np = np.asarray(F.idx[0])
+    gather_idx = np.where(idx_np < C, idx_np, 0).astype(np.int32)
+    shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+    img, n_isects = oc.eval_visible(
+        p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[0],
+        viewmat, Kmat, camtoworld[:3, 3], sh_degree, background,
+        width, height, isect_cap, ctx.v_cap,
+    )
+    return img, n_isects

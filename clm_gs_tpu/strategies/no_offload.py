@@ -32,7 +32,9 @@ class StepOut(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "isect_cap", "sparse_adam", "accumulate_stats"),
+    static_argnames=(
+        "width", "height", "isect_cap", "sparse_adam", "accumulate_stats", "adam_cfg",
+    ),
 )
 def train_step(
     state: GaussianState,

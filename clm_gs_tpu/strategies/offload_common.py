@@ -1,0 +1,180 @@
+"""Shared machinery for the host-offload strategies.
+
+TPU analogue of the reference's filter computation (base_engine.py:18-76) and
+the filtered per-camera forward (naive_offload/engine.py:159-275,
+clm_offload/engine.py:484-841): per camera, visible Gaussians are compacted
+into a fixed-capacity (v_cap) index set; the differentiable micro-step runs
+projection/SH/rasterization over the compact set only, and the gather's
+autodiff transpose scatter-adds attribute gradients back to the full buffers.
+
+Dynamic visible-set sizes are handled the TPU way (SURVEY.md §7.2):
+``jnp.nonzero(size=v_cap, fill_value=C)`` into padded index lists + counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from clm_gs_tpu.models.gaussians import GaussianParams
+from clm_gs_tpu.ops.projection import fully_fused_projection
+from clm_gs_tpu.ops.rasterize import rasterize
+from clm_gs_tpu.ops.sh import degree_mask, sh_basis
+from clm_gs_tpu.strategies.base import photometric_loss
+
+
+class Filters(NamedTuple):
+    vis: jnp.ndarray  # (B, C) bool
+    idx: jnp.ndarray  # (B, v_cap) int32, fill = C
+    counts: jnp.ndarray  # (B,) int32
+    sample: jnp.ndarray  # (B, ceil(C/stride)) bool — TSP distance sample
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "v_cap", "sample_stride"),
+)
+def calculate_filters(
+    xyz, quat, log_scale, alive, viewmats, Ks,
+    width: int, height: int, radius_clip, v_cap: int, sample_stride: int = 32,
+) -> Filters:
+    """Per-camera visibility via projection-only culling (calculate_filters,
+    base_engine.py:18-76). Runs on the selection-critical GPU attributes only —
+    no SH needed, so the clm strategy computes it without touching host data."""
+    proj = fully_fused_projection(
+        xyz, quat, jnp.exp(log_scale), viewmats, Ks, width, height,
+        radius_clip=radius_clip, alive=alive,
+    )
+    vis = proj.radii > 0  # (B, C)
+    counts = jnp.sum(vis, axis=1).astype(jnp.int32)
+
+    def one(v):
+        (i,) = jnp.nonzero(v, size=v_cap, fill_value=v.shape[0])
+        return i.astype(jnp.int32)
+
+    idx = jax.vmap(one)(vis)
+    # 1/stride downsample for the TSP Hamming distances
+    # (clm_offload/engine.py:158-176)
+    sample = vis[:, ::sample_stride]
+    return Filters(vis, idx, counts, sample)
+
+
+class MicroOut(NamedTuple):
+    loss: jnp.ndarray
+    gpu_grads: dict  # {"xyz","opacity","log_scale","quat"} full (C, ...) grads
+    sh_grad_compact: jnp.ndarray  # (v_cap, 48)
+    probe_grad: jnp.ndarray  # (v_cap, 2) screen-space grads at visible rows
+    radii_compact: jnp.ndarray  # (v_cap,)
+    n_isects: jnp.ndarray
+
+
+@partial(
+    jax.jit, static_argnames=("width", "height", "isect_cap", "v_cap"),
+)
+def micro_step_visible(
+    xyz, opacity, log_scale, quat,
+    sh_compact,  # (v_cap, 48) — the streamed working set
+    idx,  # (v_cap,) int32, fill = C
+    viewmat, Kmat, campos, gt, sh_degree, background,
+    width: int, height: int, isect_cap: int, v_cap: int,
+) -> MicroOut:
+    """One camera's fwd+bwd over its compact visible set. SH colors are
+    evaluated from the compact working set; the reference's equivalent is
+    pipeline_forward_one_step over filtered params (base_engine.py:106-207,
+    SH-inplace variant clm_offload/engine.py:30-127)."""
+    C = xyz.shape[0]
+    valid = idx < C
+    idc = jnp.minimum(idx, C - 1)
+
+    def loss_fn(xyz, opacity, log_scale, quat, shc, probe):
+        xyz_c = xyz[idc]
+        op_c = jax.nn.sigmoid(opacity[idc])
+        sc_c = jnp.exp(log_scale[idc])
+        qt_c = quat[idc]
+        proj = fully_fused_projection(
+            xyz_c, qt_c, sc_c, viewmat[None], Kmat[None], width, height,
+            alive=valid,
+        )
+        means2d = proj.means2d[0] + probe
+        dirs = xyz_c - campos[None, :]
+        basis = sh_basis(dirs) * degree_mask(sh_degree)
+        colors = jnp.maximum(
+            jnp.einsum("nk,nkc->nc", basis, shc.reshape(v_cap, 16, 3)) + 0.5, 0.0
+        )
+        image, _, n_isects = rasterize(
+            means2d, proj.conics[0], colors, op_c, proj.depths[0], proj.radii[0],
+            width, height, background, isect_cap,
+        )
+        return photometric_loss(image, gt), (proj.radii[0], n_isects)
+
+    probe0 = jnp.zeros((v_cap, 2), jnp.float32)
+    (loss, (radii, n_isects)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+    )(xyz, opacity, log_scale, quat, sh_compact, probe0)
+    g_xyz, g_op, g_ls, g_qt, g_sh, g_probe = grads
+    return MicroOut(
+        loss=loss,
+        gpu_grads={
+            "xyz": g_xyz, "opacity": g_op, "log_scale": g_ls, "quat": g_qt,
+        },
+        sh_grad_compact=g_sh,
+        probe_grad=g_probe,
+        radii_compact=radii,
+        n_isects=n_isects,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "isect_cap", "v_cap"))
+def eval_visible(
+    xyz, opacity, log_scale, quat, sh_compact, idx,
+    viewmat, Kmat, campos, sh_degree, background,
+    width: int, height: int, isect_cap: int, v_cap: int,
+):
+    """Eval render from a compact visible set (clm_offload_eval_one_cam,
+    clm_offload/engine.py:928-979)."""
+    C = xyz.shape[0]
+    valid = idx < C
+    idc = jnp.minimum(idx, C - 1)
+    xyz_c = xyz[idc]
+    proj = fully_fused_projection(
+        xyz_c, quat[idc], jnp.exp(log_scale[idc]), viewmat[None], Kmat[None],
+        width, height, alive=valid,
+    )
+    dirs = xyz_c - campos[None, :]
+    basis = sh_basis(dirs) * degree_mask(sh_degree)
+    colors = jnp.maximum(
+        jnp.einsum("nk,nkc->nc", basis, sh_compact.reshape(v_cap, 16, 3)) + 0.5,
+        0.0,
+    )
+    image, _, n_isects = rasterize(
+        proj.means2d[0], proj.conics[0], colors, jax.nn.sigmoid(opacity[idc]),
+        proj.depths[0], proj.radii[0], width, height, background, isect_cap,
+    )
+    return image, n_isects
+
+
+@partial(jax.jit, static_argnames=())
+def scatter_stats(xyz_grad_accum, denom, idx, probe_grad, radii_compact, width, height):
+    """Densification stats from a compact probe grad
+    (update_densification_stats_offload_accum_grads, densification.py:59)."""
+    g = probe_grad * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
+    norm = jnp.linalg.norm(g, axis=-1)
+    vis = radii_compact > 0
+    C = xyz_grad_accum.shape[0]
+    dst = jnp.where(vis, idx, C)
+    return (
+        xyz_grad_accum.at[dst].add(norm, mode="drop"),
+        denom.at[dst].add(1.0, mode="drop"),
+    )
+
+
+def hamming_distance_matrix(sample):
+    """(B, S) bool visibility samples -> (B, B) int32 Hamming distances for the
+    camera-order TSP (clm_offload/engine.py:158-176)."""
+    s = sample.astype(jnp.int32)
+    inter = s @ s.T  # (B, B) count of common-visible
+    ones = jnp.sum(s, axis=1)
+    return (ones[:, None] + ones[None, :] - 2 * inter).astype(jnp.int32)

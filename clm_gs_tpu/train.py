@@ -1,0 +1,372 @@
+"""Training driver (reference train.py:68-896 analogue).
+
+CLI: python -m clm_gs_tpu.train -s <scene> -m <out> --no_offload|--naive_offload|
+--clm_offload [flags]. Host-side control loop: LR schedules, SH-degree ramp,
+eval/densify/save/checkpoint scheduling (interval arithmetic identical to the
+reference via check_update_at_this_iter), adaptive capacity management for the
+two bucketed buffers (Gaussian capacity, isect capacity), and strategy
+dispatch. All device work happens inside the strategies' jitted steps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clm_gs_tpu.config import Config, parse_config, save_config
+from clm_gs_tpu.data.cameras import stack_cameras
+from clm_gs_tpu.data.dataset import iterate_eval
+from clm_gs_tpu.models import densify as Dn
+from clm_gs_tpu.models import gaussians as G
+from clm_gs_tpu.optim import (
+    AdamConfig,
+    AdamState,
+    init_adam,
+    lr_batch_scale,
+    sh_column_lr,
+)
+from clm_gs_tpu.scene import Scene
+from clm_gs_tpu.strategies import clm_offload, naive_offload, no_offload
+from clm_gs_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from clm_gs_tpu.utils.general import (
+    check_update_at_this_iter,
+    get_expon_lr_func,
+    next_capacity,
+    psnr as psnr_fn,
+    round_up,
+)
+from clm_gs_tpu.utils.logger import RunLogger
+from clm_gs_tpu.utils.timer import End2endTimer, Timer
+
+STRATEGIES = {
+    "no_offload": no_offload,
+    "naive_offload": naive_offload,
+    "clm_offload": clm_offload,
+}
+
+
+def _grow_opt(opt: AdamState, new_cap: int) -> AdamState:
+    def pad(x):
+        extra = new_cap - x.shape[0]
+        return jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
+
+    return AdamState(
+        mu=G.GaussianParams(*[pad(a) for a in opt.mu.astuple()]),
+        nu=G.GaussianParams(*[pad(a) for a in opt.nu.astuple()]),
+        steps=opt.steps,
+    )
+
+
+def _hbm_gb() -> float:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 2**30
+    except Exception:
+        return 0.0
+
+
+def _host_gb() -> float:
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss / 2**30
+    except Exception:
+        return 0.0
+
+
+def training(cfg: Config):
+    t_setup = time.time()
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    logger = RunLogger(
+        cfg.model.model_path,
+        append=bool(cfg.aux.auto_start_checkpoint),
+        quiet=cfg.aux.quiet,
+    )
+    save_config(cfg, os.path.join(cfg.model.model_path, "args.json"))
+    logger.write(f"config: {cfg}\n")
+
+    scene = Scene(cfg, logger)
+    state = scene.gaussians
+    opt_state = init_adam(state.params)
+    rng = jax.random.PRNGKey(cfg.debug.seed)
+    start_iter = 1
+
+    ckpt = cfg.aux.start_checkpoint or (
+        latest_checkpoint(cfg.model.model_path) if cfg.aux.auto_start_checkpoint else None
+    )
+    if ckpt:
+        state, opt_state, rng, start_iter = load_checkpoint(ckpt)
+        logger.write(f"Resumed from {ckpt} at iteration {start_iter}\n")
+
+    strategy_name = cfg.strategy
+    strategy = STRATEGIES[strategy_name]
+    bsz = cfg.opt.bsz
+    if strategy_name == "clm_offload" and bsz <= 1:
+        logger.write("note: clm_offload pipelining expects bsz > 1 (train.py:358)\n")
+    W, H = scene.width, scene.height
+    spatial = scene.cameras_extent
+
+    xyz_lr_fn = get_expon_lr_func(
+        cfg.opt.position_lr_init * spatial * cfg.opt.lr_scale_pos_and_scale,
+        cfg.opt.position_lr_final * spatial * cfg.opt.lr_scale_pos_and_scale,
+        lr_delay_mult=cfg.opt.position_lr_delay_mult,
+        max_steps=cfg.opt.position_lr_max_steps,
+    )
+    lr_scale = lr_batch_scale(bsz, cfg.opt.lr_scale_mode)
+    adam_cfg = AdamConfig().scaled(bsz, cfg.opt.lr_scale_mode)
+
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
+        jnp.float32,
+    )
+    dataset = scene.train_dataset(bsz)
+    isect_cap = cfg.tpu.isect_cap
+    e2e = End2endTimer()
+    timers = Timer(enabled=cfg.bench.enable_timer)
+
+    # strategy-specific placement setup
+    strategy_ctx = None
+    extra_path = os.path.join(ckpt, "strategy_extra.npz") if ckpt else ""
+    if strategy_name == "naive_offload":
+        strategy_ctx = strategy.make_context(cfg, state, adam_cfg)
+        opt_state = None  # all moments live on the host (HostAdam)
+        if extra_path and os.path.exists(extra_path):
+            strategy_ctx = strategy.restore_extra(
+                strategy_ctx, dict(np.load(extra_path))
+            )
+    elif strategy_name == "clm_offload":
+        resumed_stripped = state.params.sh.shape[0] != state.capacity
+        if resumed_stripped:
+            # checkpointed mid-run: device state has the (1,48) placeholder and
+            # opt_state already carries the restored 4-group moments; SH and its
+            # host moments come from strategy_extra.npz.
+            assert extra_path and os.path.exists(extra_path), (
+                "clm checkpoint missing strategy_extra.npz"
+            )
+            strategy_ctx = strategy.make_context_empty(cfg, state.capacity, adam_cfg)
+            strategy_ctx = strategy.restore_extra(
+                strategy_ctx, dict(np.load(extra_path))
+            )
+        else:
+            strategy_ctx = strategy.make_context(cfg, state, adam_cfg)
+            state = strategy.strip_device_sh(state)
+            opt_state = init_adam(state.params)  # 4 HBM groups + placeholder
+
+    logger.write(f"setup time: {time.time() - t_setup:.1f} s\n")
+    e2e.start()
+    ema_loss = None
+    iteration = start_iter
+    while iteration <= cfg.opt.iterations:
+        sh_degree = min((iteration - 1) // 1000, cfg.model.sh_degree)
+
+        lrs: Dict[str, jnp.ndarray] = {
+            "xyz": jnp.float32(float(xyz_lr_fn(iteration)) * lr_scale),
+            "opacity": jnp.float32(cfg.opt.opacity_lr * lr_scale),
+            "log_scale": jnp.float32(
+                cfg.opt.scaling_lr * cfg.opt.lr_scale_pos_and_scale * lr_scale
+            ),
+            "quat": jnp.float32(cfg.opt.rotation_lr * lr_scale),
+            "sh": sh_column_lr(cfg.opt.feature_lr) * lr_scale,
+        }
+
+        cams, gt = dataset.next_batch()
+        cb = stack_cameras(cams)
+        gt = jnp.asarray(gt)
+        if cfg.opt.random_background:
+            rng, sub = jax.random.split(rng)
+            background = jax.random.uniform(sub, (3,), jnp.float32)
+
+        timers.start("train_step")
+        if strategy_name == "no_offload":
+            state, opt_state, out = strategy.train_step(
+                state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background,
+                W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
+                accumulate_stats=not cfg.opt.disable_auto_densification,
+            )
+        else:
+            state, opt_state, strategy_ctx, out = strategy.train_one_batch(
+                state, opt_state, strategy_ctx, cb, gt, sh_degree, lrs, adam_cfg,
+                background, W, H, isect_cap, cfg,
+            )
+        timers.stop("train_step", sync=out.losses)
+
+        loss = float(out.losses.mean())
+        ema_loss = loss if ema_loss is None else 0.6 * ema_loss + 0.4 * loss
+        if (iteration - 1) % cfg.aux.log_interval < bsz:
+            logger.write(
+                f"iteration[{iteration},{iteration+bsz}) loss: {loss:.6f} "
+                f"ema: {ema_loss:.6f} n3dgs: {int(state.n_alive)}\n"
+            )
+
+        # adaptive isect capacity (bucketed growth, recompile on change)
+        mi = int(out.max_isects)
+        if mi > 0.9 * isect_cap:
+            isect_cap = round_up(int(mi * 1.5), 2**16)
+            logger.write(f"isect_cap -> {isect_cap}\n")
+
+        # ---- eval ----
+        if any(
+            check_update_at_this_iter(iteration, bsz, ti, 0) or iteration == ti
+            for ti in cfg.aux.test_iterations
+        ) if cfg.aux.test_iterations else False:
+            e2e.pause(sync=out.losses)
+            training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
+                            isect_cap, iteration, logger)
+            e2e.start()
+
+        # ---- densification ----
+        if not cfg.opt.disable_auto_densification and iteration <= cfg.opt.densify_until_iter:
+            if iteration > cfg.opt.densify_from_iter and check_update_at_this_iter(
+                iteration, bsz, cfg.opt.densification_interval, 0
+            ):
+                n_new = int(
+                    Dn.count_densify(
+                        state, cfg.opt.densify_grad_threshold, cfg.opt.percent_dense,
+                        spatial,
+                    )
+                )
+                needed = int(state.n_alive) + n_new
+                if needed > 0.92 * state.capacity:
+                    new_cap = next_capacity(needed, cfg.tpu.capacity_granule)
+                    logger.write(f"capacity {state.capacity} -> {new_cap}\n")
+                    state = G.grow_capacity(state, new_cap)
+                    opt_state = _grow_opt(opt_state, new_cap)
+                    if strategy_ctx is not None:
+                        strategy_ctx = strategy.grow_context(
+                            strategy_ctx, new_cap, cfg
+                        )
+                rng, sub = jax.random.split(rng)
+                size_prune = iteration > cfg.opt.opacity_reset_interval
+                state, opt_state, info = Dn.densify_and_prune(
+                    state, opt_state, sub, cfg.opt.densify_grad_threshold,
+                    cfg.opt.min_opacity, spatial, cfg.opt.percent_dense,
+                    jnp.asarray(size_prune),
+                    include_sh=(strategy_name != "clm_offload"),
+                )
+                if strategy_ctx is not None:
+                    strategy_ctx = strategy.post_densify(strategy_ctx, state, info)
+                logger.densify_report(
+                    iteration, iteration + bsz, int(info.n_alive), _hbm_gb(),
+                    _host_gb(),
+                )
+            if check_update_at_this_iter(
+                iteration, bsz, cfg.opt.opacity_reset_interval, 0
+            ):
+                state, opt_state = Dn.reset_opacity(state, opt_state)
+                if strategy_ctx is not None:
+                    strategy_ctx = strategy.post_opacity_reset(strategy_ctx, state)
+                logger.write(f"iteration[{iteration},{iteration+bsz}) reset_opacity\n")
+
+        # ---- save / checkpoint ----
+        save_hits = [
+            s for s in cfg.aux.save_iterations if iteration <= s < iteration + bsz
+        ]
+        if save_hits and not cfg.debug.do_not_save:
+            e2e.pause(sync=out.losses)
+            scene.gaussians = (
+                strategy.materialize(state, strategy_ctx)
+                if strategy_name == "clm_offload" else state
+            )
+            scene.save(save_hits[-1], logger)
+            logger.write(f"[ITER {iteration}] Saving Gaussians\n")
+            e2e.start()
+        if any(
+            iteration <= c < iteration + bsz for c in cfg.aux.checkpoint_iterations
+        ):
+            e2e.pause(sync=out.losses)
+            ckpt_state = state
+            ckpt_opt = opt_state if opt_state is not None else init_adam(state.params)
+            save_checkpoint(
+                cfg.model.model_path, iteration + bsz, ckpt_state, ckpt_opt, rng
+            )
+            if hasattr(strategy, "checkpoint_extra") and strategy_ctx is not None:
+                np.savez(
+                    os.path.join(
+                        cfg.model.model_path, "checkpoints", str(iteration + bsz),
+                        "strategy_extra.npz",
+                    ),
+                    **strategy.checkpoint_extra(strategy_ctx),
+                )
+            logger.write(f"[ITER {iteration}] Saving Checkpoint\n")
+            e2e.start()
+
+        iteration += bsz
+
+    e2e.pause(sync=state.params.xyz)
+    logger.end2end(e2e.elapsed(), cfg.opt.iterations - start_iter + 1)
+    if timers.enabled:
+        logger.write(timers.report() + "\n")
+    dataset.close()
+    logger.close()
+    return state, opt_state
+
+
+def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
+                    isect_cap, iteration, logger):
+    """Eval loop (train.py:669-846): L1 + PSNR over test and a train subset."""
+    strategy = STRATEGIES[cfg.strategy]
+    eval_state = (state, strategy_ctx) if cfg.strategy == "clm_offload" else state
+    W, H = scene.width, scene.height
+    n_eval_train = min(
+        len(scene.test_cameras) or 10, len(scene.train_cameras),
+        cfg.opt.max_num_images_to_evaluate,
+    )
+    configs = [
+        ("test", scene.test_cameras[: cfg.opt.max_num_images_to_evaluate]),
+        ("train", scene.train_cameras[:n_eval_train]),
+    ]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1s, psnrs = [], []
+        saved = 0
+        for cam, gt in iterate_eval(cams, cfg.aux.decode_dataset_path, W, H):
+            cb = stack_cameras([cam])
+            img, _ = strategy.eval_one_cam(
+                eval_state, cb.viewmats[0], cb.Ks[0], cb.camtoworlds[0], sh_degree,
+                background, W, H, isect_cap,
+            )
+            gtj = jnp.asarray(gt)
+            l1s.append(float(jnp.mean(jnp.abs(img - gtj))))
+            psnrs.append(float(psnr_fn(jnp.clip(img, 0, 1), gtj)))
+            if saved < cfg.aux.num_save_images_during_eval:
+                _save_eval_image(cfg, iteration, name, cam, img, gtj)
+                saved += 1
+        logger.eval_result(
+            iteration, name, float(np.mean(l1s)), float(np.mean(psnrs))
+        )
+
+
+def _save_eval_image(cfg, iteration, split, cam, img, gt):
+    try:
+        from PIL import Image
+
+        out_dir = os.path.join(cfg.model.model_path, "eval_images", str(iteration))
+        os.makedirs(out_dir, exist_ok=True)
+        for tag, arr in (("render", img), ("gt", gt)):
+            a = np.asarray(jnp.clip(arr, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(a.transpose(1, 2, 0)).save(
+                os.path.join(out_dir, f"{split}_{cam.image_name}_{tag}.png")
+            )
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    np.random.seed(cfg.debug.seed)
+    training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""ctypes bindings for the native C++ components (csrc/), with pure-Python
+fallbacks so the framework runs without a toolchain.
+
+  - fast_tsp: camera-order TSP (replaces the fast-tsp submodule,
+    clm_offload/engine.py:179)
+  - cpu_adam: SIMD host Adam + gather/scatter over the pinned SH buffer
+    (replaces cpu-adam and the host half of clm_kernels' DMA gathers)
+
+Shared objects are built on demand with `make -C csrc` (g++ is baked into the
+image); set CLM_GS_NO_NATIVE=1 to force the fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "csrc")
+
+
+def _load(name: str) -> Optional[ctypes.CDLL]:
+    if os.environ.get("CLM_GS_NO_NATIVE"):
+        return None
+    so = os.path.join(_CSRC, f"lib{name}.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC, f"lib{name}.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
+_tsp = _load("fast_tsp")
+if _tsp is not None:
+    _tsp.find_tour.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+
+_adam = _load("cpu_adam")
+if _adam is not None:
+    _adam.adam_sparse_step.argtypes = [
+        _f32p, _f32p, _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
+        _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int64,
+    ]
+    _adam.adam_dense_step.argtypes = [
+        _f32p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int, _f32p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int64,
+    ]
+    _adam.scatter_add_rows.argtypes = [
+        _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    _adam.gather_rows.argtypes = [_f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int]
+
+
+def have_native_tsp() -> bool:
+    return _tsp is not None
+
+
+def have_native_adam() -> bool:
+    return _adam is not None
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+def find_tour(dist: np.ndarray, time_budget_s: float = 1e-3) -> np.ndarray:
+    """dist: (n, n) int32 symmetric distances. Returns (n,) permutation
+    minimizing the open-path cost."""
+    n = dist.shape[0]
+    dist = np.ascontiguousarray(dist, np.int32)
+    if _tsp is not None:
+        out = np.empty(n, np.int32)
+        _tsp.find_tour(
+            _ptr(dist, ctypes.POINTER(ctypes.c_int32)), n, time_budget_s,
+            _ptr(out, ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    # fallback: greedy nearest neighbor from each start + single 2-opt sweep
+    best, best_cost = None, np.inf
+    for s in range(n):
+        used = np.zeros(n, bool)
+        tour = [s]
+        used[s] = True
+        for _ in range(n - 1):
+            d = np.where(used, np.iinfo(np.int32).max, dist[tour[-1]])
+            nxt = int(np.argmin(d))
+            tour.append(nxt)
+            used[nxt] = True
+        cost = sum(dist[tour[i], tour[i + 1]] for i in range(n - 1))
+        if cost < best_cost:
+            best, best_cost = tour, cost
+    tour = list(best)
+    improved = True
+    while improved:
+        improved = False
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                delta = 0
+                if i > 0:
+                    delta += dist[tour[i - 1], tour[j]] - dist[tour[i - 1], tour[i]]
+                if j < n - 1:
+                    delta += dist[tour[i], tour[j + 1]] - dist[tour[j], tour[j + 1]]
+                if delta < 0:
+                    tour[i : j + 1] = tour[i : j + 1][::-1]
+                    improved = True
+    return np.asarray(tour, np.int32)
+
+
+class HostAdam:
+    """Host-side Adam over a pinned (N, cols) numpy buffer (FusedCPUAdam
+    analogue). Buffers are owned by the caller; this object holds moments."""
+
+    def __init__(self, n: int, cols: int, lr_cols: np.ndarray,
+                 betas=(0.9, 0.999), eps: float = 1e-15):
+        self.exp_avg = np.zeros((n, cols), np.float32)
+        self.exp_avg_sq = np.zeros((n, cols), np.float32)
+        self.lr_cols = np.ascontiguousarray(lr_cols, np.float32)
+        self.betas = betas
+        self.eps = eps
+        self.step_count = 0
+        self.cols = cols
+
+    def grow(self, new_n: int):
+        for name in ("exp_avg", "exp_avg_sq"):
+            old = getattr(self, name)
+            new = np.zeros((new_n, self.cols), np.float32)
+            new[: len(old)] = old
+            setattr(self, name, new)
+
+    def sparse_step(self, params, grads, indices, grad_scale=1.0, step=None):
+        """Update rows `indices`; zeroes those grad rows in place (version=3
+        semantics, clm_offload/engine.py:320-327)."""
+        step = self.step_count if step is None else step
+        indices = np.ascontiguousarray(indices, np.int32)
+        if _adam is not None:
+            _adam.adam_sparse_step(
+                _ptr(params, _f32p), _ptr(grads, _f32p),
+                _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
+                _ptr(indices, _i32p), len(indices), self.cols,
+                _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
+                self.eps, grad_scale, step,
+            )
+            return
+        b1, b2 = self.betas
+        bc1 = 1 - b1**step
+        bc2 = 1 - b2**step
+        g = grads[indices] * grad_scale
+        m = b1 * self.exp_avg[indices] + (1 - b1) * g
+        v = b2 * self.exp_avg_sq[indices] + (1 - b2) * g * g
+        self.exp_avg[indices] = m
+        self.exp_avg_sq[indices] = v
+        params[indices] -= self.lr_cols * (m / bc1) / (np.sqrt(v / bc2) + self.eps)
+        grads[indices] = 0.0
+
+    def dense_step(self, params, grads, n, grad_scale=1.0, step=None):
+        self.sparse_step(params, grads, np.arange(n, dtype=np.int32), grad_scale, step)
+
+
+def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    indices = np.ascontiguousarray(indices, np.int32)
+    if _adam is not None:
+        out = np.empty((len(indices), buf.shape[1]), np.float32)
+        _adam.gather_rows(
+            _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
+            len(indices), buf.shape[1],
+        )
+        return out
+    return buf[indices]
+
+
+def scatter_add_rows(buf, rows, indices, accumulate=True):
+    indices = np.ascontiguousarray(indices, np.int32)
+    rows = np.ascontiguousarray(rows, np.float32)
+    if _adam is not None:
+        _adam.scatter_add_rows(
+            _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
+            len(indices), buf.shape[1], int(accumulate),
+        )
+        return
+    if accumulate:
+        np.add.at(buf, indices, rows)
+    else:
+        buf[indices] = rows

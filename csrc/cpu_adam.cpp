@@ -1,0 +1,141 @@
+// SIMD host-side Adam over the concatenated (N, 48) SH parameter buffer.
+//
+// Native replacement for the reference's cpu-adam submodule
+// (cpu_adam.FusedCPUAdam / batched_sparse_step, SURVEY.md §2.3c): the CPU half
+// of the clm_offload strategy updates SH rows whose last use in the batch has
+// passed, overlapped with the accelerator's remaining microbatches. Features
+// mirrored from the call sites (optimizer.py:130-144,
+// clm_offload/engine.py:301-335):
+//   - per-column learning rates (dc columns vs rest),
+//   - global-step bias correction, eps = 1e-15 semantics,
+//   - sparse row updates by index list, with grad rows zeroed in place after
+//     consumption (version=3 behavior) and an optional 1/bsz grad scale,
+//   - dense step over the first n rows.
+//
+// Vectorized with AVX2 when available (48 f32 = 6 x 8-lane AVX vectors per
+// row); plain scalar loop otherwise. OpenMP-free: the caller shards rows
+// across its own threads if needed.
+//
+// C ABI for ctypes; all pointers are float32 row-major (N, cols).
+
+#include <cmath>
+#include <cstdint>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+extern "C" {
+
+// Update rows listed in `indices` (n_idx of them). grads rows are zeroed
+// after use. lr_cols is a per-column learning-rate array of length `cols`.
+void adam_sparse_step(float* params, float* grads, float* exp_avg,
+                      float* exp_avg_sq, const int32_t* indices, int64_t n_idx,
+                      int cols, const float* lr_cols, float beta1, float beta2,
+                      float eps, float grad_scale, int64_t step) {
+  const float bc1 = 1.0f - std::pow(beta1, (float)step);
+  const float bc2 = 1.0f - std::pow(beta2, (float)step);
+  const float inv_bc1 = 1.0f / bc1;
+  const float inv_bc2 = 1.0f / bc2;
+
+#if defined(__AVX2__)
+  const __m256 vb1 = _mm256_set1_ps(beta1);
+  const __m256 vb2 = _mm256_set1_ps(beta2);
+  const __m256 v1mb1 = _mm256_set1_ps(1.0f - beta1);
+  const __m256 v1mb2 = _mm256_set1_ps(1.0f - beta2);
+  const __m256 veps = _mm256_set1_ps(eps);
+  const __m256 vscale = _mm256_set1_ps(grad_scale);
+  const __m256 vibc1 = _mm256_set1_ps(inv_bc1);
+  const __m256 vibc2 = _mm256_set1_ps(inv_bc2);
+  const __m256 vzero = _mm256_setzero_ps();
+#endif
+
+  for (int64_t k = 0; k < n_idx; ++k) {
+    const int64_t row = (int64_t)indices[k];
+    float* p = params + row * cols;
+    float* g = grads + row * cols;
+    float* m = exp_avg + row * cols;
+    float* v = exp_avg_sq + row * cols;
+    int c = 0;
+#if defined(__AVX2__)
+    for (; c + 8 <= cols; c += 8) {
+      __m256 gv = _mm256_mul_ps(_mm256_loadu_ps(g + c), vscale);
+      __m256 mv = _mm256_fmadd_ps(v1mb1, gv, _mm256_mul_ps(vb1, _mm256_loadu_ps(m + c)));
+      __m256 vv = _mm256_fmadd_ps(v1mb2, _mm256_mul_ps(gv, gv),
+                                  _mm256_mul_ps(vb2, _mm256_loadu_ps(v + c)));
+      _mm256_storeu_ps(m + c, mv);
+      _mm256_storeu_ps(v + c, vv);
+      __m256 mhat = _mm256_mul_ps(mv, vibc1);
+      __m256 denom = _mm256_add_ps(
+          _mm256_sqrt_ps(_mm256_mul_ps(vv, vibc2)), veps);
+      __m256 lr = _mm256_loadu_ps(lr_cols + c);
+      __m256 upd = _mm256_div_ps(_mm256_mul_ps(lr, mhat), denom);
+      _mm256_storeu_ps(p + c, _mm256_sub_ps(_mm256_loadu_ps(p + c), upd));
+      _mm256_storeu_ps(g + c, vzero);
+    }
+#endif
+    for (; c < cols; ++c) {
+      float gv = g[c] * grad_scale;
+      m[c] = beta1 * m[c] + (1.0f - beta1) * gv;
+      v[c] = beta2 * v[c] + (1.0f - beta2) * gv * gv;
+      float mhat = m[c] * inv_bc1;
+      float vhat = v[c] * inv_bc2;
+      p[c] -= lr_cols[c] * mhat / (std::sqrt(vhat) + eps);
+      g[c] = 0.0f;
+    }
+  }
+}
+
+// Dense step over rows [0, n).
+void adam_dense_step(float* params, float* grads, float* exp_avg,
+                     float* exp_avg_sq, int64_t n, int cols,
+                     const float* lr_cols, float beta1, float beta2, float eps,
+                     float grad_scale, int64_t step) {
+  // reuse the sparse path with an implicit identity index list
+  const float bc1 = 1.0f - std::pow(beta1, (float)step);
+  const float bc2 = 1.0f - std::pow(beta2, (float)step);
+  const float inv_bc1 = 1.0f / bc1;
+  const float inv_bc2 = 1.0f / bc2;
+  for (int64_t row = 0; row < n; ++row) {
+    float* p = params + row * cols;
+    float* g = grads + row * cols;
+    float* m = exp_avg + row * cols;
+    float* v = exp_avg_sq + row * cols;
+    for (int c = 0; c < cols; ++c) {
+      float gv = g[c] * grad_scale;
+      m[c] = beta1 * m[c] + (1.0f - beta1) * gv;
+      v[c] = beta2 * v[c] + (1.0f - beta2) * gv * gv;
+      p[c] -= lr_cols[c] * (m[c] * inv_bc1) /
+              (std::sqrt(v[c] * inv_bc2) + eps);
+      g[c] = 0.0f;
+    }
+  }
+}
+
+// Scatter-add gradient rows into the host grad buffer:
+// buf[indices[k], :] += rows[k, :]   (the send_shs2cpu analogue's host half).
+void scatter_add_rows(float* buf, const float* rows, const int32_t* indices,
+                      int64_t n_idx, int cols, int accumulate) {
+  for (int64_t k = 0; k < n_idx; ++k) {
+    float* dst = buf + (int64_t)indices[k] * cols;
+    const float* src = rows + k * cols;
+    if (accumulate) {
+      for (int c = 0; c < cols; ++c) dst[c] += src[c];
+    } else {
+      for (int c = 0; c < cols; ++c) dst[c] = src[c];
+    }
+  }
+}
+
+// Gather rows from the host param buffer: out[k, :] = buf[indices[k], :]
+// (the send_shs2gpu analogue's host half).
+void gather_rows(const float* buf, float* out, const int32_t* indices,
+                 int64_t n_idx, int cols) {
+  for (int64_t k = 0; k < n_idx; ++k) {
+    const float* src = buf + (int64_t)indices[k] * cols;
+    float* dst = out + k * cols;
+    for (int c = 0; c < cols; ++c) dst[c] = src[c];
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""Strategy parity: no_offload is the ground truth; naive_offload and
+clm_offload must produce equivalent training trajectories (the reference's
+primary correctness oracle, SURVEY.md §4: "mathematically identical rendering
+formula", PSNR within noise)."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clm_gs_tpu.config import Config, init_config
+from clm_gs_tpu.models import gaussians as G
+from clm_gs_tpu.optim import AdamConfig, init_adam, sh_column_lr
+from clm_gs_tpu.strategies import clm_offload, naive_offload, no_offload
+from tests.test_train_synthetic import _render_gts, _scene, BG, CAP, H, ISECT_CAP, LRS, W
+
+
+def _perturbed(seed=0):
+    state, cb = _scene(seed=seed)
+    gts = _render_gts(state, cb)
+    rng = jax.random.PRNGKey(7)
+    p = state.params
+    p = G.GaussianParams(
+        xyz=p.xyz + 0.02 * jax.random.normal(rng, p.xyz.shape),
+        opacity=p.opacity - 0.3, log_scale=p.log_scale + 0.1, quat=p.quat,
+        sh=p.sh * 0.8,
+    )
+    return replace(state, params=p), cb, gts
+
+
+def _mk_cfg(strategy, bsz=4, sparse=False):
+    cfg = Config()
+    setattr(cfg.aux, strategy, True)
+    cfg.aux.sparse_adam = sparse
+    cfg.opt.bsz = bsz
+    cfg.opt.lr_scale_mode = "accumu"  # keep LR identical across tests
+    init_config(cfg)
+    return cfg
+
+
+N_STEPS = 8
+
+
+def _run_no_offload(state, cb, gts, sparse=False):
+    opt = init_adam(state.params)
+    losses = []
+    for _ in range(N_STEPS):
+        state, opt, out = no_offload.train_step(
+            state, opt, cb, gts, 3, LRS, AdamConfig(), BG, W, H, ISECT_CAP,
+            sparse_adam=sparse,
+        )
+        losses.append(np.asarray(out.losses))
+    return state, np.array(losses)
+
+
+def _run_naive(state, cb, gts, sparse=False):
+    cfg = _mk_cfg("naive_offload", sparse=sparse)
+    ctx = naive_offload.make_context(cfg, state, AdamConfig())
+    losses = []
+    for _ in range(N_STEPS):
+        state, _, ctx, out = naive_offload.train_one_batch(
+            state, None, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+            ISECT_CAP, cfg,
+        )
+        losses.append(np.asarray(out.losses))
+    return state, np.array(losses)
+
+
+def _run_clm(state, cb, gts, sparse=False):
+    cfg = _mk_cfg("clm_offload", sparse=sparse)
+    ctx = clm_offload.make_context(cfg, state, AdamConfig())
+    state = clm_offload.strip_device_sh(state)
+    opt = init_adam(state.params)
+    losses = []
+    for _ in range(N_STEPS):
+        state, opt, ctx, out = clm_offload.train_one_batch(
+            state, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+            ISECT_CAP, cfg,
+        )
+        losses.append(np.asarray(out.losses))
+    return clm_offload.materialize(state, ctx), np.array(losses)
+
+
+class TestStrategyParity:
+    def test_naive_matches_no_offload(self):
+        state, cb, gts = _perturbed()
+        s_no, loss_no = _run_no_offload(state, cb, gts)
+        s_nv, loss_nv = _run_naive(state, cb, gts)
+        # per-batch mean losses track closely (fp32 accumulation-order noise)
+        np.testing.assert_allclose(
+            loss_nv.mean(1), loss_no.mean(1), rtol=5e-3, atol=5e-4
+        )
+        # final params close
+        for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+            a = np.asarray(getattr(s_no.params, name))
+            b = np.asarray(getattr(s_nv.params, name))
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=2e-3, err_msg=name)
+
+    def test_clm_matches_no_offload(self):
+        state, cb, gts = _perturbed()
+        s_no, loss_no = _run_no_offload(state, cb, gts)
+        s_clm, loss_clm = _run_clm(state, cb, gts)
+        # clm's TSP reorders cameras inside the batch: compare per-batch sums
+        np.testing.assert_allclose(
+            np.sort(loss_clm, axis=1), np.sort(loss_no, axis=1), rtol=5e-3,
+            atol=1e-3,
+        )
+        for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+            a = np.asarray(getattr(s_no.params, name))
+            b = np.asarray(getattr(s_clm.params, name))
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=2e-3, err_msg=name)
+
+    def test_clm_sparse_adam(self):
+        state, cb, gts = _perturbed(seed=1)
+        s, losses = _run_clm(state, cb, gts, sparse=True)
+        assert losses[-1].mean() < losses[0].mean()
+        assert np.isfinite(losses).all()
+
+    def test_clm_device_memory_excludes_sh(self):
+        state, cb, gts = _perturbed()
+        cfg = _mk_cfg("clm_offload")
+        ctx = clm_offload.make_context(cfg, state, AdamConfig())
+        stripped = clm_offload.strip_device_sh(state)
+        assert stripped.params.sh.shape == (1, 48)
+        assert ctx.sh_host.shape == (CAP, 48)
+        # materialize restores
+        full = clm_offload.materialize(stripped, ctx)
+        np.testing.assert_array_equal(
+            np.asarray(full.params.sh), np.asarray(state.params.sh)
+        )
