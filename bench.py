@@ -82,16 +82,16 @@ def main():
             accumulate_stats=False,
         )
 
-    # warmup / compile
-    state2, opt2, out = step(state, opt)
-    jax.block_until_ready(state2.params.xyz)
+    # warmup / compile (block on the FULL output tree — blocking on a single
+    # leaf does not drain the remote execution queue)
+    s, o, out = step(state, opt)
+    jax.block_until_ready((s, o, out))
 
     iters = 3
     t0 = time.perf_counter()
-    s, o = state, opt
     for _ in range(iters):
         s, o, out = step(s, o)
-    jax.block_until_ready(s.params.xyz)
+    jax.block_until_ready((s, o, out))
     dt = time.perf_counter() - t0
 
     mpix_s = iters * BSZ * W * H / dt / 1e6

@@ -140,10 +140,11 @@ def _chunk_compositing(g, T, done):
     dead = _cum_incl(viol.astype(jnp.float32), jnp.add, 0.0) > 0
     keep = jnp.logical_not(dead) & jnp.logical_not(done)
     w = jnp.where(keep, a * T_excl, 0.0)
-    # Mosaic has no reduce_prod; product over kept rows via exp-sum-log.
-    T_new = T * jnp.exp(
-        jnp.sum(jnp.where(keep, jnp.log1p(-a), 0.0), axis=0, keepdims=True)
-    )
+    # Product over the kept prefix: cp_incl is non-increasing in k (om <= 1),
+    # and `keep` is a per-pixel prefix mask, so the product over kept rows
+    # equals the minimum of cp_incl over them (Mosaic has no reduce_prod, and
+    # this also avoids a log1p+exp per element).
+    T_new = T * jnp.min(jnp.where(keep, cp_incl, 1.0), axis=0, keepdims=True)
     done_new = done | jnp.any(viol, axis=0, keepdims=True)
     return w, T_excl, keep, T_new, done_new
 
@@ -164,19 +165,31 @@ def _fwd_kernel(
     done_ref[:] = jnp.zeros((1, P), jnp.float32)
     acc_ref[:] = jnp.zeros((4, P), jnp.float32)
 
+    def chunk_dma(c):
+        s0 = pl.multiple_of(start + c * K, ALIGN)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(s0, K)], buf_ref.at[c % 2], sem_ref.at[c % 2]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0).start()
+
     def cond(carry):
         c, alldone = carry
         return (c < nchunks) & (alldone == 0)
 
     def body(carry):
         c, _ = carry
-        s0 = pl.multiple_of(start + c * K, ALIGN)
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(s0, K)], buf_ref, sem_ref
+        # double buffering: next chunk's DMA flies while this one computes
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma(c + 1).start()
+
+        chunk_dma(c).wait()
+        g = _chunk_geometry(
+            jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
         )
-        dma.start()
-        dma.wait()
-        g = _chunk_geometry(jnp.transpose(buf_ref[:], (1, 0)), pxf, pyf, c * K, n)
         done = done_ref[:] > 0.5
         w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
@@ -188,7 +201,13 @@ def _fwd_kernel(
         alldone = (jnp.min(done_new.astype(jnp.float32)) > 0.5).astype(jnp.int32)
         return c + 1, alldone
 
-    jax.lax.while_loop(cond, body, (0, 0))
+    c_end, _ = jax.lax.while_loop(cond, body, (0, 0))
+
+    # early exit leaves the prefetch for chunk c_end in flight; drain it so
+    # the next grid step's semaphore state is clean
+    @pl.when(c_end < nchunks)
+    def _():
+        chunk_dma(c_end).wait()
 
     T = t_ref[:]
     acc = acc_ref[:]
@@ -221,15 +240,33 @@ def _bwd_kernel(
     done_ref[:] = jnp.zeros((1, P), jnp.float32)
     e_ref[:] = jnp.zeros((1, P), jnp.float32)
 
+    def chunk_dma(c):
+        s0 = pl.multiple_of(start + c * K, ALIGN)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(s0, K)], buf_ref.at[c % 2], sem_ref.at[c % 2]
+        )
+
+    def write_dma(c):
+        s0 = pl.multiple_of(start + c * K, ALIGN)
+        return pltpu.make_async_copy(
+            gbuf_ref.at[c % 2], grads_ref.at[:, pl.ds(s0, K)], wsem_ref.at[c % 2]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0).start()
+
     def body(c, carry):
         T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
-        s0 = pl.multiple_of(start + c * K, ALIGN)
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(s0, K)], buf_ref, sem_ref
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            chunk_dma(c + 1).start()
+
+        chunk_dma(c).wait()
+        g = _chunk_geometry(
+            jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
         )
-        dma.start()
-        dma.wait()
-        g = _chunk_geometry(jnp.transpose(buf_ref[:], (1, 0)), pxf, pyf, c * K, n)
         w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
         # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
@@ -258,17 +295,18 @@ def _bwd_kernel(
         v_mx = -jnp.sum((g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True)
         v_my = -jnp.sum((g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True)
 
+        # wait for the write issued two chunks ago before reusing its slot
+        @pl.when(c >= 2)
+        def _():
+            write_dma(c - 2).wait()
+
         gbuf = jnp.concatenate(
             [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
              jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
             axis=1,
         )  # (K, 16)
-        gbuf_ref[:] = jnp.transpose(gbuf, (1, 0))  # (16, K)
-        wdma = pltpu.make_async_copy(
-            gbuf_ref, grads_ref.at[:, pl.ds(s0, K)], wsem_ref
-        )
-        wdma.start()
-        wdma.wait()
+        gbuf_ref[c % 2] = jnp.transpose(gbuf, (1, 0))  # (16, K)
+        write_dma(c).start()
 
         t_ref[:] = T_new
         done_ref[:] = done_new.astype(jnp.float32)
@@ -276,6 +314,15 @@ def _bwd_kernel(
         return carry
 
     jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # drain the last (up to two) outstanding writes
+    @pl.when(nchunks >= 2)
+    def _():
+        write_dma(nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        write_dma(nchunks - 1).wait()
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -294,11 +341,11 @@ def _rasterize_sorted_fwd(attrs_t, starts, counts, background, num_tiles_w_h):
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((4, P), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -327,13 +374,13 @@ def _rasterize_sorted_bwd(num_tiles_w_h, res, v_out):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
-            pltpu.VMEM((ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     v_attrs_t = pl.pallas_call(
@@ -392,25 +439,22 @@ def rasterize(
         TILE, tw, th, isect_cap,
     )
     ids, starts, counts = align_tile_ranges(isect, num_tiles, ALIGN, cap_padded)
-    valid = ids >= 0
+    valid = (ids >= 0)[:, None]
     idc = jnp.maximum(ids, 0)
 
-    def row(x):
-        # `where` (not multiply): its VJP *selects*, so garbage/NaN in the
-        # backward kernel's unwritten padding slots is dropped rather than
-        # turned into NaN * 0 before the scatter-add back to per-Gaussian grads.
-        return jnp.where(valid, x[idc], 0.0)
-
-    attrs_t = jnp.stack(
+    # ONE row-gather of a packed (N, 16) attribute table instead of 9 scalar
+    # gathers — random-access count, not payload bytes, dominates TPU gather
+    # cost. `where` (not multiply): its VJP *selects*, so garbage/NaN rows of
+    # the backward kernel's unwritten padding slots are dropped rather than
+    # turned into NaN * 0 before the scatter-add back to per-Gaussian grads.
+    table = jnp.concatenate(
         [
-            row(means2d[:, 0]), row(means2d[:, 1]),
-            row(conics[:, 0]), row(conics[:, 1]), row(conics[:, 2]),
-            row(opacities),
-            row(colors[:, 0]), row(colors[:, 1]), row(colors[:, 2]),
-        ]
-        + [jnp.zeros((cap_padded,), jnp.float32)] * (ATTR_ROWS - 9),
-        axis=0,
-    )  # (16, cap_padded)
+            means2d, conics, opacities[:, None], colors,
+            jnp.zeros((means2d.shape[0], ATTR_ROWS - 9), jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 16)
+    attrs_t = jnp.where(valid, table[idc], 0.0).T  # (16, cap_padded)
     out = _rasterize_sorted(attrs_t, starts, counts, background, (tw, th))
     # (num_tiles, 4, P) -> (4, th*TILE, tw*TILE) -> crop
     img = out.reshape(th, tw, 4, TILE, TILE)

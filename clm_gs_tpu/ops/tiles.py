@@ -94,27 +94,44 @@ def isect_tiles(
     n_isects = cum[-1]
     starts = cum - counts
 
-    # 2. instance expansion into the fixed-capacity buffer.
+    # 2. instance expansion into the fixed-capacity buffer: slot s belongs to
+    # the gaussian whose [starts, cum) range contains it. Large random gathers
+    # are the enemy on TPU (searchsorted = ~20 serial gather passes ~600 ms;
+    # even 4 direct gathers of the per-gaussian fields cost ~300 ms at 4M):
+    # instead scatter each gaussian's fields at its start slot and forward-fill
+    # with one associative scan ("rightmost valid wins"). Gaussians with
+    # count > 0 have strictly increasing starts, so scatters never collide,
+    # and the packed geometry word is nonzero exactly at set slots (wds >= 1).
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, n - 1)
+    packed_geo = (x0 << 18) | (y0 << 9) | wds  # 9 bits each; tiles < 512/axis
+    dst = jnp.where(counts > 0, starts, isect_cap)
+
+    def scat(src, dtype=jnp.int32):
+        return jnp.zeros(isect_cap, dtype).at[dst].set(src, mode="drop")
+
+    def fill_op(a, b):
+        sel = b[0] != 0
+        return tuple(jnp.where(sel, bb, aa) for aa, bb in zip(a, b))
+
+    geo_f, starts_f, orig_f = jax.lax.associative_scan(
+        fill_op, (scat(packed_geo), scat(starts), scat(order))
+    )
     valid = slots < n_isects
-    local = slots - starts[g]
-    w = jnp.maximum(wds[g], 1)
-    ty = y0[g] + local // w
-    tx = x0[g] + local % w
+    local = slots - starts_f
+    w = jnp.maximum(geo_f & 0x1FF, 1)
+    ty = ((geo_f >> 9) & 0x1FF) + local // w
+    tx = (geo_f >> 18) + local % w
     tile = jnp.where(valid, ty * tile_width + tx, num_tiles)
 
-    # 3. stable sort instances by tile id, carrying sorted-gaussian position.
-    _, g_sorted = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
-    tile_sorted = jnp.sort(tile)
+    # 3. stable sort instances by tile id, carrying the original gaussian id
+    # (depth order within a tile is preserved: slots are depth-major).
+    tile_sorted, gauss_ids = jax.lax.sort((tile, orig_f), num_keys=1, is_stable=True)
 
     # 4. per-tile offsets (isect_offset_encode analogue).
     tile_offsets = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    gauss_ids = order[g_sorted]
     return IsectResults(gauss_ids, tile_sorted, tile_offsets, n_isects)
 
 
