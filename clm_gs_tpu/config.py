@@ -128,6 +128,7 @@ class TpuParams:
     isect_cap: int = 2 ** 20  # initial instance-buffer capacity (auto-grows)
     capacity_granule: int = 65_536
     host_offload_sh: bool = True  # clm_offload: SH buffer in pinned host memory
+    retention: bool = True  # clm_offload: H/D/G delta transfers between cameras
     eval_res_cap: int = 0  # 0 = full resolution
 
 

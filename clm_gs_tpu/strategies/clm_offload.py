@@ -25,10 +25,13 @@ bulky SH coefficients (48 floats) and their Adam moments live in host DRAM
   5. [device]  Adam for the 4 HBM groups (grad/bsz; engine.py:869-882),
   6. join the host worker (:898).
 
-Retention delta-transfers (H/D/G classification, engine.py:568-636) are a
-planned optimization on top of this structure; the current implementation
-re-gathers each camera's full visible set (correctness identical — retention
-only reduces PCIe traffic).
+Retention delta-transfers (H/D/G classification, engine.py:568-636): between
+consecutive cameras in the TSP order, the working set is advanced in place —
+retained rows (D) move device-side to their new positions, only newly-visible
+rows (H) are fetched from the host, and only dropped rows' accumulated
+gradients (G) are offloaded; the final microbatch flushes its whole buffer
+(engine.py:815-822). Disable with --no-retention to fall back to full
+per-camera re-gather (same math, more traffic).
 """
 
 from __future__ import annotations
@@ -139,6 +142,50 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
     return order, finish_sets, never
 
 
+@jax.jit
+def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
+    """Device-side working-set advance for one camera transition.
+
+    pd/pn: positions of retained (D) rows in the previous/next layout;
+    hn: positions of host-fetched (H) rows in the next layout; gp: positions
+    of dropped (G) rows in the previous layout. All padded with v_cap
+    (out-of-bounds -> dropped by scatter mode="drop").
+    Returns (sh_next, grad_carry_next, g_rows_out).
+    """
+    v = sh_prev.shape[0]
+    pdc = jnp.minimum(pd, v - 1)
+    gpc = jnp.minimum(gp, v - 1)
+    sh_next = (
+        jnp.zeros_like(sh_prev)
+        .at[pn].set(sh_prev[pdc], mode="drop")
+        .at[hn].set(h_rows, mode="drop")
+    )
+    grad_carry = jnp.zeros_like(grad_prev).at[pn].set(grad_prev[pdc], mode="drop")
+    g_rows = grad_prev[gpc]  # caller slices the valid prefix after D2H
+    return sh_next, grad_carry, g_rows
+
+
+def _classify_transition(prev_ids, next_ids, v_cap):
+    """H/D/G classification for one camera pair (the nonzero_static retention
+    split, engine.py:568-636) as padded position arrays."""
+    common, pd, pn = np.intersect1d(
+        prev_ids, next_ids, assume_unique=True, return_indices=True
+    )
+    in_common_prev = np.zeros(len(prev_ids), bool)
+    in_common_prev[pd] = True
+    gp = np.nonzero(~in_common_prev)[0]
+    in_common_next = np.zeros(len(next_ids), bool)
+    in_common_next[pn] = True
+    hn = np.nonzero(~in_common_next)[0]
+
+    def pad(x):
+        out = np.full(v_cap, v_cap, np.int32)
+        out[: len(x)] = x
+        return out
+
+    return pad(pd), pad(pn), pad(hn), pad(gp), gp, hn
+
+
 def train_one_batch(
     state, opt_state, ctx: ClmContext, cams, gt, sh_degree,
     lrs, adam_cfg, background, width, height, isect_cap, cfg,
@@ -188,15 +235,24 @@ def train_one_batch(
     max_isects = jnp.zeros((), jnp.int32)
     futures = []
 
+    use_retention = getattr(cfg.tpu, "retention", True)
+    B = len(order)
+    grad_buf = None  # (v_cap, 48) accumulated SH grads in current-camera layout
+    shc = None
     for pos, cam_i in enumerate(order):
         cam_i = int(cam_i)
         n_vis = int(counts_np[cam_i])
         idx_k = idx_np[cam_i]
-        # host gather of the visible SH rows (send_shs2gpu host half); padded
-        # rows gather row 0 — masked out by idx >= C inside the micro step.
-        gather_idx = np.where(idx_k < C, idx_k, 0).astype(np.int32)
-        sh_rows = native.gather_rows(ctx.sh_host, gather_idx)
-        shc = jax.device_put(sh_rows)  # async H2D of the compact working set
+        valid_ids = idx_k[:n_vis]
+
+        if shc is None or not use_retention:
+            # full fetch of the visible working set (first camera, or
+            # retention disabled); padded rows gather row 0 — masked out by
+            # idx >= C inside the micro step.
+            gather_idx = np.where(idx_k < C, idx_k, 0).astype(np.int32)
+            shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+            if grad_buf is None:
+                grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
 
         out = oc.micro_step_visible(
             p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[cam_i],
@@ -215,11 +271,50 @@ def train_one_batch(
         losses.append(out.loss)
         max_isects = jnp.maximum(max_isects, out.n_isects)
 
-        # D2H of compact SH grads -> scatter-add into the host grad buffer
-        sh_grad_np = np.asarray(out.sh_grad_compact)[:n_vis]
-        native.scatter_add_rows(
-            ctx.sh_grad_host, sh_grad_np, idx_k[:n_vis], accumulate=True
-        )
+        grad_buf = grad_buf + out.sh_grad_compact
+
+        if use_retention and pos + 1 < B:
+            # advance the working set to the next camera: keep D rows on
+            # device, fetch only H rows, offload only G rows' grads
+            # (send_shs2gpu_stream_retention / send_shs2cpu_..._retention,
+            # engine.py:623-636, 789-803).
+            next_i = int(order[pos + 1])
+            next_ids = idx_np[next_i][: int(counts_np[next_i])]
+            pd, pn, hn, gp, gp_raw, hn_raw = _classify_transition(
+                valid_ids, next_ids, ctx.v_cap
+            )
+            h_ids = next_ids[hn_raw]
+            h_rows = np.zeros((ctx.v_cap, SH_COLS), np.float32)
+            if len(h_ids):
+                h_rows[: len(h_ids)] = native.gather_rows(
+                    ctx.sh_host, h_ids.astype(np.int32)
+                )
+            # hn positions must line up with h_rows packing order
+            hn_aligned = np.full(ctx.v_cap, ctx.v_cap, np.int32)
+            hn_aligned[: len(hn_raw)] = hn_raw
+            shc, grad_buf, g_rows = _advance_working_set(
+                shc, grad_buf, jax.device_put(h_rows),
+                jax.device_put(pd), jax.device_put(pn),
+                jax.device_put(hn_aligned), jax.device_put(gp),
+            )
+            if len(gp_raw):
+                g_np = np.asarray(g_rows)[: len(gp_raw)]
+                native.scatter_add_rows(
+                    ctx.sh_grad_host, g_np, valid_ids[gp_raw], accumulate=True
+                )
+        else:
+            # final microbatch (or retention off): flush the whole buffer
+            # (engine.py:815-822)
+            g_np = np.asarray(grad_buf)[:n_vis]
+            native.scatter_add_rows(
+                ctx.sh_grad_host, g_np, valid_ids, accumulate=True
+            )
+            if use_retention:
+                grad_buf = None
+                shc = None
+            else:
+                grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
+                shc = None
 
         # eager host Adam on rows whose last use just passed (cpuadam_thread)
         rows = finish_sets[pos]

@@ -130,3 +130,32 @@ class TestStrategyParity:
         np.testing.assert_array_equal(
             np.asarray(full.params.sh), np.asarray(state.params.sh)
         )
+
+
+class TestRetention:
+    def test_retention_matches_full_regather(self):
+        """H/D/G delta transfers must be numerically identical to re-fetching
+        every camera's full visible set (they only change traffic)."""
+        state, cb, gts = _perturbed(seed=2)
+
+        def run(retention):
+            cfg = _mk_cfg("clm_offload")
+            cfg.tpu.retention = retention
+            ctx = clm_offload.make_context(cfg, state, AdamConfig())
+            s = clm_offload.strip_device_sh(state)
+            opt = init_adam(s.params)
+            for _ in range(4):
+                s, opt, ctx, out = clm_offload.train_one_batch(
+                    s, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+                    ISECT_CAP, cfg,
+                )
+            return clm_offload.materialize(s, ctx)
+
+        s_ret = run(True)
+        s_full = run(False)
+        for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_ret.params, name)),
+                np.asarray(getattr(s_full.params, name)),
+                rtol=1e-5, atol=1e-6, err_msg=name,
+            )
