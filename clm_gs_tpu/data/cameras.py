@@ -106,6 +106,39 @@ class Camera:
         ).astype(np.float32)
 
 
+def nudge_camera(cam: Camera, dx: float = 0.0, dy: float = 0.0, dz: float = 0.0) -> Camera:
+    """Move the camera center along its view axes (Camera.update(dx,dy,dz),
+    scene/cameras.py:131-160) — interactive inspection helper."""
+    vm = cam.viewmat.astype(np.float64)
+    c2w = np.linalg.inv(vm)
+    c2w[:3, 3] += c2w[:3, :3] @ np.array([dx, dy, dz])
+    w2c = np.linalg.inv(c2w)
+    from dataclasses import replace as _replace
+
+    return _replace(cam, R=w2c[:3, :3].T, T=w2c[:3, 3])
+
+
+@dataclass(frozen=True)
+class MiniCam:
+    """Pose-only camera for novel-view rendering (scene/cameras.py:163-184)."""
+
+    width: int
+    height: int
+    fovx: float
+    fovy: float
+    viewmat: np.ndarray  # (4, 4) world-to-view
+    znear: float = 0.01
+    zfar: float = 100.0
+
+    @property
+    def K(self) -> np.ndarray:
+        return intrinsics_from_fov(self.fovx, self.fovy, self.width, self.height)
+
+    @property
+    def camera_center(self) -> np.ndarray:
+        return np.linalg.inv(self.viewmat)[:3, 3].astype(np.float32)
+
+
 @dataclass(frozen=True)
 class CameraBatch:
     """Stacked device-side camera parameters for a batch of B cameras (same

@@ -67,8 +67,9 @@ def l1_loss(img, gt):
 LAMBDA_DSSIM = 0.2
 
 
-def combined_loss(image, image_gt):
-    """0.8 L1 + 0.2 (1 - SSIM), the training loss (base_engine.py:79-103)."""
-    return (1.0 - LAMBDA_DSSIM) * l1_loss(image, image_gt) + LAMBDA_DSSIM * (
+def combined_loss(image, image_gt, lambda_dssim: float = LAMBDA_DSSIM):
+    """(1-l) L1 + l (1 - SSIM), the training loss (base_engine.py:79-103;
+    --lambda_dssim, default 0.2)."""
+    return (1.0 - lambda_dssim) * l1_loss(image, image_gt) + lambda_dssim * (
         1.0 - ssim(image, image_gt)
     )

@@ -71,8 +71,8 @@ def render_one_cam(
     return RenderOut(image, alpha, proj.radii[0], n_isects)
 
 
-def photometric_loss(image, gt_image):
+def photometric_loss(image, gt_image, lambda_dssim: float = 0.2):
     """gt arrives as uint8-scaled float; clamp to [0,1] like FusedCompiledLoss
     (base_engine.py:89-103)."""
     gt = jnp.clip(gt_image, 0.0, 1.0)
-    return combined_loss(image, gt)
+    return combined_loss(image, gt, lambda_dssim)

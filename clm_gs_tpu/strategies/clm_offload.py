@@ -258,6 +258,7 @@ def train_one_batch(
             p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[cam_i],
             cams.viewmats[cam_i], cams.Ks[cam_i], cams.camtoworlds[cam_i][:3, 3],
             gt[cam_i], sh_degree, background, width, height, isect_cap, ctx.v_cap,
+            lambda_dssim=cfg.opt.lambda_dssim,
         )
         for n in gpu_grads:
             gpu_grads[n] = gpu_grads[n] + out.gpu_grads[n]

@@ -68,11 +68,12 @@ def grow_context(ctx: NaiveContext, new_cap: int, cfg) -> NaiveContext:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "isect_cap", "accumulate_stats"),
+    static_argnames=("width", "height", "isect_cap", "accumulate_stats", "lambda_dssim"),
 )
 def _batch_grads(
     state: GaussianState, cams, gt_images, sh_degree, background,
     width: int, height: int, isect_cap: int, accumulate_stats: bool = True,
+    lambda_dssim: float = 0.2,
 ):
     """Gradient accumulation over the camera microbatches (no optimizer)."""
     params = state.params
@@ -88,7 +89,7 @@ def _batch_grads(
                 p, alive, viewmat, Kmat, c2w[:3, 3], sh_degree,
                 width, height, background, isect_cap, probe=probe,
             )
-            return photometric_loss(out.image, gt), out
+            return photometric_loss(out.image, gt, lambda_dssim), out
 
         probe0 = jnp.zeros((C, 2), jnp.float32)
         (loss, out), (g_params, g_probe) = jax.value_and_grad(
@@ -126,6 +127,7 @@ def train_one_batch(
     grads, stats, vis_any, max_isects, losses = _batch_grads(
         state, cams, jnp.asarray(gt), sh_degree, background, width, height,
         isect_cap, accumulate_stats=not cfg.opt.disable_auto_densification,
+        lambda_dssim=cfg.opt.lambda_dssim,
     )
 
     # bulk D2H of grads + host Adam over each group

@@ -33,7 +33,8 @@ class StepOut(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "isect_cap", "sparse_adam", "accumulate_stats", "adam_cfg",
+        "width", "height", "isect_cap", "sparse_adam", "accumulate_stats",
+        "adam_cfg", "lambda_dssim",
     ),
 )
 def train_step(
@@ -50,6 +51,7 @@ def train_step(
     isect_cap: int,
     sparse_adam: bool = False,
     accumulate_stats: bool = True,
+    lambda_dssim: float = 0.2,
 ):
     """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut)."""
     params = state.params
@@ -69,7 +71,7 @@ def train_step(
                 p, alive, viewmat, Kmat, campos, sh_degree,
                 width, height, background, isect_cap, probe=probe,
             )
-            return photometric_loss(out.image, gt), out
+            return photometric_loss(out.image, gt, lambda_dssim), out
 
         probe0 = jnp.zeros((C, 2), jnp.float32)
         (loss, out), (g_params, g_probe) = jax.value_and_grad(

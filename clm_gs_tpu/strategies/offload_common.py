@@ -72,7 +72,8 @@ class MicroOut(NamedTuple):
 
 
 @partial(
-    jax.jit, static_argnames=("width", "height", "isect_cap", "v_cap"),
+    jax.jit,
+    static_argnames=("width", "height", "isect_cap", "v_cap", "lambda_dssim"),
 )
 def micro_step_visible(
     xyz, opacity, log_scale, quat,
@@ -80,6 +81,7 @@ def micro_step_visible(
     idx,  # (v_cap,) int32, fill = C
     viewmat, Kmat, campos, gt, sh_degree, background,
     width: int, height: int, isect_cap: int, v_cap: int,
+    lambda_dssim: float = 0.2,
 ) -> MicroOut:
     """One camera's fwd+bwd over its compact visible set. SH colors are
     evaluated from the compact working set; the reference's equivalent is
@@ -108,7 +110,7 @@ def micro_step_visible(
             means2d, proj.conics[0], colors, op_c, proj.depths[0], proj.radii[0],
             width, height, background, isect_cap,
         )
-        return photometric_loss(image, gt), (proj.radii[0], n_isects)
+        return photometric_loss(image, gt, lambda_dssim), (proj.radii[0], n_isects)
 
     probe0 = jnp.zeros((v_cap, 2), jnp.float32)
     (loss, (radii, n_isects)), grads = jax.value_and_grad(

@@ -163,6 +163,7 @@ def training(cfg: Config):
             opt_state = init_adam(state.params)  # 4 HBM groups + placeholder
 
     logger.write(f"setup time: {time.time() - t_setup:.1f} s\n")
+    profiling = [False]
     e2e.start()
     ema_loss = None
     iteration = start_iter
@@ -186,12 +187,16 @@ def training(cfg: Config):
             rng, sub = jax.random.split(rng)
             background = jax.random.uniform(sub, (3,), jnp.float32)
 
+        if cfg.debug.profile and iteration >= cfg.debug.profile_start_iter and not profiling[0]:
+            jax.profiler.start_trace(os.path.join(cfg.model.model_path, "profile"))
+            profiling[0] = True
         timers.start("train_step")
         if strategy_name == "no_offload":
             state, opt_state, out = strategy.train_step(
                 state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background,
                 W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
                 accumulate_stats=not cfg.opt.disable_auto_densification,
+                lambda_dssim=cfg.opt.lambda_dssim,
             )
         else:
             state, opt_state, strategy_ctx, out = strategy.train_one_batch(
@@ -300,8 +305,14 @@ def training(cfg: Config):
             logger.write(f"[ITER {iteration}] Saving Checkpoint\n")
             e2e.start()
 
+        if profiling[0] and iteration + bsz > cfg.debug.profile_end_iter:
+            jax.profiler.stop_trace()
+            profiling[0] = False
+            logger.write(f"profiler trace written to {cfg.model.model_path}/profile\n")
         iteration += bsz
 
+    if profiling[0]:
+        jax.profiler.stop_trace()
     e2e.pause(sync=state.params.xyz)
     logger.end2end(e2e.elapsed(), cfg.opt.iterations - start_iter + 1)
     if timers.enabled:

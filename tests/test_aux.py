@@ -167,3 +167,36 @@ class TestHostAdamMore:
         a2.sparse_step(p2, g2, np.arange(n, dtype=np.int32), step=1)
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
         assert (g1 == 0).all() and (g2 == 0).all()
+
+
+class TestDebugAndCams:
+    def test_dump_and_compare(self, tmp_path):
+        from clm_gs_tpu.utils.debug import compare_dumps, dump_arrays, dump_image_txt
+
+        img = np.random.RandomState(0).rand(3, 8, 8).astype(np.float32)
+        dump_image_txt(str(tmp_path / "img.txt"), img)
+        assert (tmp_path / "img_c0.txt").exists()
+        dump_arrays(str(tmp_path / "a.npz"), img=img, x=np.ones(3))
+        dump_arrays(str(tmp_path / "b.npz"), img=img + 1e-3, x=np.ones(3))
+        diffs = compare_dumps(str(tmp_path / "a.npz"), str(tmp_path / "b.npz"))
+        assert "img" in diffs and "x" not in diffs
+
+    def test_nudge_camera(self):
+        from clm_gs_tpu.data.cameras import nudge_camera
+        from tests.utils3d import make_camera
+
+        cam = make_camera(angle=0.5)
+        moved = nudge_camera(cam, dz=1.0)
+        # moving forward along view axis decreases distance to origin
+        assert np.linalg.norm(moved.camera_center) < np.linalg.norm(cam.camera_center)
+        # orientation unchanged
+        np.testing.assert_allclose(moved.viewmat[:3, :3], cam.viewmat[:3, :3], atol=1e-6)
+
+    def test_minicam(self):
+        from clm_gs_tpu.data.cameras import MiniCam
+        from tests.utils3d import make_camera
+
+        cam = make_camera()
+        mini = MiniCam(cam.width, cam.height, cam.fovx, cam.fovy, cam.viewmat)
+        np.testing.assert_allclose(mini.K, cam.K, rtol=1e-6)
+        np.testing.assert_allclose(mini.camera_center, cam.camera_center, atol=1e-5)
