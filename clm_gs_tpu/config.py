@@ -117,6 +117,8 @@ class DebugParams:
     do_not_save: bool = False
     save_tensors: bool = False
     seed: int = 0
+    drop_initial_3dgs_p: float = 0.0  # randomly drop this fraction of init points
+    stop_update_param_assert: bool = True
 
 
 @dataclass

@@ -30,7 +30,7 @@ def dataset_min_size(cams: Sequence[Camera]):
 
 
 def _predecode_one(args):
-    image_path, image_name, cache_dir, w, h = args
+    image_path, image_name, cache_dir, w, h, white_background = args
     from PIL import Image
 
     out_path = os.path.join(cache_dir, "dataset_raw", image_name.lstrip("/") + ".raw")
@@ -38,6 +38,13 @@ def _predecode_one(args):
         return True
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with Image.open(image_path) as img:
+        if "A" in img.getbands():
+            # composite RGBA onto the training background (the Blender-scene
+            # white_background handling, dataset_readers.py readNerfSynthetic)
+            bg = (255, 255, 255) if white_background else (0, 0, 0)
+            base = Image.new("RGB", img.size, bg)
+            base.paste(img.convert("RGBA"), mask=img.convert("RGBA").split()[-1])
+            img = base
         img = img.convert("RGB").crop((0, 0, w, h))
         raw = img.tobytes()
     with open(out_path, "wb") as f:
@@ -46,12 +53,16 @@ def _predecode_one(args):
 
 
 def predecode_dataset_to_disk(
-    cams: Sequence[Camera], cache_dir: str, num_workers: Optional[int] = None
+    cams: Sequence[Camera], cache_dir: str, num_workers: Optional[int] = None,
+    white_background: bool = False,
 ):
     """Decode + crop all images once (predecode_dataset_to_disk,
     camera_utils.py:308-328; multiprocess variant :278-306)."""
     w, h = dataset_min_size(cams)
-    tasks = [(c.image_path, c.image_name, cache_dir, w, h) for c in cams]
+    tasks = [
+        (c.image_path, c.image_name, cache_dir, w, h, white_background)
+        for c in cams
+    ]
     if num_workers is None:
         num_workers = min(os.cpu_count() or 1, 16)
     if num_workers <= 1 or len(tasks) < 4:

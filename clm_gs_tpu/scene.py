@@ -66,6 +66,7 @@ class Scene:
         self.width, self.height = D.predecode_dataset_to_disk(
             all_cams, cfg.aux.decode_dataset_path,
             num_workers=None if cfg.aux.multiprocesses_decode_dataset_to_disk else 1,
+            white_background=cfg.model.white_background,
         )
         log(f"Image size: {self.width}x{self.height}\n")
 
@@ -82,9 +83,12 @@ class Scene:
                 if cfg.aux.prealloc_capacity > 0
                 else None
             )
+            ratio = cfg.aux.initial_point_cloud_downsampled_ratio
+            if getattr(cfg.debug, "drop_initial_3dgs_p", 0.0) > 0:
+                ratio = min(ratio, 1.0 - cfg.debug.drop_initial_3dgs_p)
             self.gaussians = G.create_from_pcd(
                 pcd.points, pcd.colors, capacity=cap,
-                downsample_ratio=cfg.aux.initial_point_cloud_downsampled_ratio,
+                downsample_ratio=ratio,
                 seed=cfg.debug.seed,
             )
         log(f"Initialized {int(self.gaussians.n_alive)} gaussians "

@@ -134,6 +134,41 @@ def training(cfg: Config):
     e2e = End2endTimer()
     timers = Timer(enabled=cfg.bench.enable_timer)
 
+    # multi-chip: shard Gaussians + cameras over the mesh (no_offload only;
+    # offload strategies drive per-camera host streaming and stay single-chip
+    # per host for now)
+    sharded_step = None
+    if (
+        strategy_name == "no_offload"
+        and cfg.tpu.shard_gaussians
+        and len(jax.devices()) > 1
+    ):
+        from clm_gs_tpu.parallel.mesh import (
+            data_sharding as _dsh, make_mesh as _mkmesh, shard_state as _shstate,
+        )
+        from clm_gs_tpu.parallel.shard import make_sharded_train_step
+
+        mesh = _mkmesh(cfg.tpu.mesh_shape)
+        n_data = mesh.shape["data"]
+        if bsz % n_data == 0:
+            state = _shstate(state, mesh)
+            opt_state = jax.tree.map(
+                lambda x: x, init_adam(state.params)
+            )
+            logger.write(f"multi-chip mesh: {dict(mesh.shape)}\n")
+            sharded_step = (mesh, _dsh(mesh))
+            if not cfg.opt.disable_auto_densification:
+                logger.write(
+                    "note: densification stats are not yet accumulated by the "
+                    "sharded step; disabling auto densification for this run\n"
+                )
+                cfg.opt.disable_auto_densification = True
+        else:
+            logger.write(
+                f"mesh data axis {n_data} does not divide bsz {bsz}; "
+                "running single-device\n"
+            )
+
     # strategy-specific placement setup
     strategy_ctx = None
     extra_path = os.path.join(ckpt, "strategy_extra.npz") if ckpt else ""
@@ -191,7 +226,23 @@ def training(cfg: Config):
             jax.profiler.start_trace(os.path.join(cfg.model.model_path, "profile"))
             profiling[0] = True
         timers.start("train_step")
-        if strategy_name == "no_offload":
+        if sharded_step is not None:
+            from clm_gs_tpu.parallel.shard import make_sharded_train_step
+
+            mesh, dsh = sharded_step
+            if not hasattr(training, "_sharded_fns"):
+                training._sharded_fns = {}
+            key = (W, H, isect_cap, cfg.aux.sparse_adam)
+            if key not in training._sharded_fns:
+                training._sharded_fns[key] = make_sharded_train_step(
+                    mesh, W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam
+                )
+            cb = jax.tree.map(lambda x: jax.device_put(x, dsh), cb)
+            gt = jax.device_put(gt, dsh)
+            state, opt_state, out = training._sharded_fns[key](
+                state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background
+            )
+        elif strategy_name == "no_offload":
             state, opt_state, out = strategy.train_step(
                 state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background,
                 W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
