@@ -195,15 +195,16 @@ def _read_transforms_cameras(
 def read_city_scene(
     path: str, ply_path: Optional[str] = None, ocean_mask: bool = False
 ) -> SceneInfo:
-    """MatrixCity layout: {path}/{split}/transforms.json with images under
-    {path}/../../{split}/ (readCityInfo, dataset_readers.py:496-554)."""
+    """MatrixCity layout (readCityInfo, dataset_readers.py:496-554):
+    {path}/transforms_{split}.json with {path} two levels below the image root
+    (e.g. <root>/pose/block_all), images under {path}/../../{split}/."""
     train = _read_transforms_cameras(
-        os.path.join(path, "train"), "transforms.json", "train",
-        ocean_mask=ocean_mask,
+        path, "transforms_train.json", "train", ocean_mask=ocean_mask,
+        root_rel="../..",
     )
     test = _read_transforms_cameras(
-        os.path.join(path, "test"), "transforms.json", "test", uid0=len(train),
-        ocean_mask=ocean_mask,
+        path, "transforms_test.json", "test", uid0=len(train),
+        ocean_mask=ocean_mask, root_rel="../..",
     )
     pcd = _load_ply_points(ply_path) if ply_path else None
     return SceneInfo(
