@@ -82,16 +82,22 @@ def main():
             accumulate_stats=False,
         )
 
-    # warmup / compile (block on the FULL output tree — blocking on a single
-    # leaf does not drain the remote execution queue)
+    def drain(s, o, out):
+        # On remote-tunneled devices block_until_ready can return before the
+        # queue drains; fetching values is the only reliable sync.
+        return float(out.losses.sum()) + float(s.params.opacity[0]) + float(
+            o.mu.xyz[0, 0]
+        )
+
+    # warmup / compile
     s, o, out = step(state, opt)
-    jax.block_until_ready((s, o, out))
+    drain(s, o, out)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         s, o, out = step(s, o)
-    jax.block_until_ready((s, o, out))
+    drain(s, o, out)
     dt = time.perf_counter() - t0
 
     mpix_s = iters * BSZ * W * H / dt / 1e6

@@ -256,62 +256,75 @@ def _bwd_kernel(
     def _():
         chunk_dma(0).start()
 
-    def body(c, carry):
-        T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
-
+    def body(c, alldone):
         @pl.when(c + 1 < nchunks)
         def _():
             chunk_dma(c + 1).start()
 
         chunk_dma(c).wait()
-        g = _chunk_geometry(
-            jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
-        )
-        w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
-
-        # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
-        dot1 = jax.lax.dot_general(
-            g["ctilde"], v4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, P)
-        cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
-        term_a = d_tot - E - cum_wd  # (K, P) via broadcast
-        a = g["a"]
-        om = 1.0 - a
-        # gsplat guard: no gradient through the 0.999 clamp
-        grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
-        v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
-        v_sigma = -g["ga"] * v_a  # (K, P)
-
-        dx, dy = g["dx"], g["dy"]
-        v_color = jax.lax.dot_general(
-            w, v4[0:3, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, 3)
-        v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
-        v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
-        v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
-        v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
-        v_mx = -jnp.sum((g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True)
-        v_my = -jnp.sum((g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True)
 
         # wait for the write issued two chunks ago before reusing its slot
         @pl.when(c >= 2)
         def _():
             write_dma(c - 2).wait()
 
-        gbuf = jnp.concatenate(
-            [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
-             jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
-            axis=1,
-        )  # (K, 16)
-        gbuf_ref[c % 2] = jnp.transpose(gbuf, (1, 0))  # (16, K)
-        write_dma(c).start()
+        # once every pixel has terminated, remaining instances get zero grads:
+        # skip the VPU work, still write (zeros) so the output rows are defined
+        @pl.when(alldone != 0)
+        def _():
+            gbuf_ref[c % 2] = jnp.zeros((ATTR_ROWS, K), jnp.float32)
 
-        t_ref[:] = T_new
-        done_ref[:] = done_new.astype(jnp.float32)
-        e_ref[:] = E + cum_wd[K - 1 : K, :]
-        return carry
+        @pl.when(alldone == 0)
+        def _():
+            T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
+            g = _chunk_geometry(
+                jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
+            )
+            w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
+
+            # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
+            dot1 = jax.lax.dot_general(
+                g["ctilde"], v4, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, P)
+            cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
+            term_a = d_tot - E - cum_wd  # (K, P) via broadcast
+            a = g["a"]
+            om = 1.0 - a
+            # gsplat guard: no gradient through the 0.999 clamp
+            grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
+            v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
+            v_sigma = -g["ga"] * v_a  # (K, P)
+
+            dx, dy = g["dx"], g["dy"]
+            v_color = jax.lax.dot_general(
+                w, v4[0:3, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, 3)
+            v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
+            v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
+            v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
+            v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
+            v_mx = -jnp.sum(
+                (g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True
+            )
+            v_my = -jnp.sum(
+                (g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True
+            )
+
+            gbuf = jnp.concatenate(
+                [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
+                 jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
+                axis=1,
+            )  # (K, 16)
+            gbuf_ref[c % 2] = jnp.transpose(gbuf, (1, 0))  # (16, K)
+
+            t_ref[:] = T_new
+            done_ref[:] = done_new.astype(jnp.float32)
+            e_ref[:] = E + cum_wd[K - 1 : K, :]
+
+        write_dma(c).start()
+        return (jnp.min(done_ref[:]) > 0.5).astype(jnp.int32)
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 

@@ -39,6 +39,56 @@ class IsectResults(NamedTuple):
     n_isects: jnp.ndarray  # () int32 true instance count (may exceed cap)
 
 
+def _forward_fill(channels, block: int = 1024):
+    """Rightmost-valid forward fill over 1-D int32 channels; "valid" means
+    channel 0 is nonzero. Blocked two-level Hillis-Steele: intra-block fill
+    along the minor axis, then a small inter-block carry pass. This compiles
+    in O(log block + log n/block) uniform-shape ops — jax.lax.associative_scan
+    at multi-million sizes sends XLA:TPU compile times superlinear (66 s at
+    1M elements, ~4 min at 2M, >20 min at 4M measured on v5e).
+
+    Positions before the first valid entry keep channel values 0.
+    """
+    n = channels[0].shape[0]
+    if n % block != 0:  # small/odd capacities (tests): single-level fill
+        block = n
+    rows = n // block
+
+    def fill2d(chs, axis):
+        size = chs[0].shape[axis]
+        s = 1
+        while s < size:
+            # shifted-by-s copies with zero fill (zero = invalid)
+            shifted = []
+            for x in chs:
+                pad_shape = list(x.shape)
+                pad_shape[axis] = s
+                pad = jnp.zeros(pad_shape, x.dtype)
+                sl = [slice(None), slice(None)]
+                sl[axis] = slice(0, size - s)
+                shifted.append(jnp.concatenate([pad, x[tuple(sl)]], axis=axis))
+            keep = chs[0] != 0
+            chs = tuple(jnp.where(keep, c, sc) for c, sc in zip(chs, shifted))
+            s *= 2
+        return chs
+
+    chs2d = tuple(c.reshape(rows, block) for c in channels)
+    intra = fill2d(chs2d, axis=1)
+    # inter-block carries: last column of each row, filled along rows, shifted
+    # down by one (exclusive) so row i sees the fill from rows < i
+    lasts = tuple(c[:, -1:] for c in intra)
+    lasts_f = fill2d(lasts, axis=0)
+    carries = tuple(
+        jnp.concatenate([jnp.zeros((1, 1), c.dtype), c[:-1]], axis=0)
+        for c in lasts_f
+    )
+    out = tuple(
+        jnp.where(intra[0] != 0, c, carry)
+        for c, carry in zip(intra, carries)
+    )
+    return tuple(c.reshape(n) for c in out)
+
+
 def tile_bbox(means2d, radii, tile_size, tile_width, tile_height):
     """Per-gaussian inclusive-exclusive tile bounds ([x0,x1) x [y0,y1))."""
     r = radii
@@ -109,12 +159,8 @@ def isect_tiles(
     def scat(src, dtype=jnp.int32):
         return jnp.zeros(isect_cap, dtype).at[dst].set(src, mode="drop")
 
-    def fill_op(a, b):
-        sel = b[0] != 0
-        return tuple(jnp.where(sel, bb, aa) for aa, bb in zip(a, b))
-
-    geo_f, starts_f, orig_f = jax.lax.associative_scan(
-        fill_op, (scat(packed_geo), scat(starts), scat(order))
+    geo_f, starts_f, orig_f = _forward_fill(
+        (scat(packed_geo), scat(starts), scat(order))
     )
     valid = slots < n_isects
     local = slots - starts_f
