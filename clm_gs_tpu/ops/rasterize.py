@@ -5,18 +5,23 @@ TPU-native replacement for gsplat's ``rasterize_to_pixels`` CUDA kernels
 
   - The binning stage (ops/tiles.py) yields a flat instance list grouped by
     tile and depth-ordered within each tile. Per-tile ranges are re-laid so
-    each starts at a 128-aligned slot (align_tile_ranges) — TPU DMA slices
-    along the instance axis must be lane-aligned.
-  - Per-instance attributes are pre-gathered (9 XLA gathers) into a single
-    *transposed* (16, cap) f32 array — attribute rows, instance lanes. That
-    layout has zero HBM padding waste under the (8, 128) f32 tiling, and the
-    kernel only ever issues contiguous, aligned dynamic-slice DMAs; no
-    in-kernel gathers, which TPUs do not do well.
-  - The kernel runs a 1-D grid over tiles. Each program composites its
-    TILE x TILE (=P) pixels by looping over K-instance chunks: one small
-    (16, K) -> (K, 16) transpose, then VPU-vectorized alpha evaluation over
-    the (K, P) matrix and a Hillis-Steele cumulative product along the
-    instance (sublane) axis for per-instance transmittance.
+    each starts at a K-aligned slot (align_tile_ranges), i.e. every tile owns
+    an integral number of K-instance *chunks*.
+  - Per-instance attributes are pre-gathered (one row-gather of a packed
+    (N, 16) table — random-access count, not payload bytes, dominates TPU
+    gather cost) and reshaped into (num_blocks, 16, K) chunk blocks.
+  - The kernels run a 1-D grid over *chunks* (not tiles): a precomputed chunk
+    list maps each grid step to (tile, attr block, #valid rows, first/last
+    flags) via scalar prefetch, and Mosaic's BlockSpec pipeline streams the
+    chunk blocks HBM->VMEM automatically (double-buffered, no manual DMA or
+    semaphores). Consecutive chunks of one tile revisit the same output
+    block, which therefore stays resident in VMEM and acts as the
+    accumulator; transmittance/termination carries live in scratch and reset
+    at each tile's first chunk. This replaces the earlier tile-grid design
+    whose manual DMA + while-loop cost ~15 us of overhead per chunk.
+  - Compute per chunk: one small (16, K) -> (K, 16) transpose, VPU-vectorized
+    alpha evaluation over the (K, P) matrix, and a Hillis-Steele cumulative
+    product along the instance (sublane) axis for per-instance transmittance.
 
 Sequential-termination semantics (exactly gsplat's): alpha = min(0.999,
 opac*exp(-sigma)); alpha < 1/255 skipped; a pixel stops *before* compositing
@@ -36,14 +41,13 @@ ctilde = [rgb, 1] the 4-channel color,
 
 and the contraction of A_k with the incoming cotangent collapses to a single
 cumulative sum of w * (ctilde @ v) — no per-channel prefix arrays needed.
-Per-instance gradients are written back to a flat (16, cap) buffer and
-scattered to per-Gaussian gradients by the autodiff transpose of the gathers
+Each chunk writes its gradients to its own output block; per-Gaussian
+gradients come from the autodiff transpose of the attribute gather
 (segment-sum; atomics-free by construction, SURVEY.md §7.2 hard-part #1).
 """
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
@@ -52,17 +56,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clm_gs_tpu.ops.tiles import align_tile_ranges, isect_tiles
+from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned
 
 TILE = 16
 P = TILE * TILE  # 256 pixels per tile
 K = 256  # instances per chunk
-ALIGN = 128  # per-tile range alignment (f32 lane width)
+ALIGN = K  # per-tile ranges own whole chunks
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-# attrs row layout (transposed: (ATTR_ROWS, cap))
+# attrs column layout in the packed (N, 16) table
 _MX, _MY, _CA, _CB, _CC, _OP, _R, _G, _B = range(9)
 ATTR_ROWS = 16
 
@@ -101,11 +105,11 @@ def _pixel_coords(t, tile_width):
     return pxf, pyf
 
 
-def _chunk_geometry(buf_t, pxf, pyf, cbase, n):
+def _chunk_geometry(buf_t, pxf, pyf, n):
     """Shared fwd/bwd per-chunk alpha math.
 
     buf_t: (K, ATTR_ROWS) chunk attributes (already transposed).
-    Returns dict of (K, P) / (K, 1) arrays.
+    n: number of valid rows. Returns dict of (K, P) / (K, 1) arrays.
     """
     mx = buf_t[:, _MX : _MX + 1]
     my = buf_t[:, _MY : _MY + 1]
@@ -119,7 +123,7 @@ def _chunk_geometry(buf_t, pxf, pyf, cbase, n):
     vis = jnp.exp(-sigma)
     ga = op * vis
     alpha = jnp.minimum(MAX_ALPHA, ga)
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) + cbase
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
     ok = (row < n) & (sigma >= 0) & (alpha >= ALPHA_THRESHOLD)
     a = jnp.where(ok, alpha, 0.0)
     return dict(
@@ -149,268 +153,310 @@ def _chunk_compositing(g, T, done):
     return w, T_excl, keep, T_new, done_new
 
 
-def _fwd_kernel(
-    starts_ref, counts_ref, bg_ref, attrs_ref, out_ref,
-    buf_ref, t_ref, done_ref, acc_ref, sem_ref, *, tile_width,
-):
-    # Mosaic cannot carry small vectors through scf.while; all vector state
-    # (T, done, acc) lives in VMEM scratch and the loop carries scalars only.
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    n = counts_ref[t]
-    nchunks = (n + K - 1) // K
-    pxf, pyf = _pixel_coords(t, tile_width)
+def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, t_ref, done_ref,
+                *, tile_width, num_tiles):
+    i = pl.program_id(0)
+    tile = ct[i]
+    alive = tile < num_tiles
 
-    t_ref[:] = jnp.ones((1, P), jnp.float32)
-    done_ref[:] = jnp.zeros((1, P), jnp.float32)
-    acc_ref[:] = jnp.zeros((4, P), jnp.float32)
-
-    def chunk_dma(c):
-        s0 = pl.multiple_of(start + c * K, ALIGN)
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(s0, K)], buf_ref.at[c % 2], sem_ref.at[c % 2]
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(alive & (cloc[i] == 0))
     def _():
-        chunk_dma(0).start()
+        t_ref[:] = jnp.ones((1, P), jnp.float32)
+        done_ref[:] = jnp.zeros((1, P), jnp.float32)
+        out_ref[0] = jnp.zeros((4, P), jnp.float32)
 
-    def cond(carry):
-        c, alldone = carry
-        return (c < nchunks) & (alldone == 0)
+    alldone = jnp.min(done_ref[:]) > 0.5
 
-    def body(carry):
-        c, _ = carry
-        # double buffering: next chunk's DMA flies while this one computes
-        @pl.when(c + 1 < nchunks)
-        def _():
-            chunk_dma(c + 1).start()
-
-        chunk_dma(c).wait()
-        g = _chunk_geometry(
-            jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
-        )
+    @pl.when(alive & jnp.logical_not(alldone))
+    def _():
+        pxf, pyf = _pixel_coords(tile, tile_width)
+        g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
         done = done_ref[:] > 0.5
         w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        out_ref[0] = out_ref[0] + jax.lax.dot_general(
             g["ctilde"], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (4, P)
         t_ref[:] = T_new
         done_ref[:] = done_new.astype(jnp.float32)
-        alldone = (jnp.min(done_new.astype(jnp.float32)) > 0.5).astype(jnp.int32)
-        return c + 1, alldone
 
-    c_end, _ = jax.lax.while_loop(cond, body, (0, 0))
-
-    # early exit leaves the prefetch for chunk c_end in flight; drain it so
-    # the next grid step's semaphore state is clean
-    @pl.when(c_end < nchunks)
+    @pl.when(alive & (clast[i] == 1))
     def _():
-        chunk_dma(c_end).wait()
+        T = t_ref[:]
+        acc = out_ref[0]
+        out_ref[0] = jnp.concatenate(
+            [
+                acc[0:1, :] + T * bg[0],
+                acc[1:2, :] + T * bg[1],
+                acc[2:3, :] + T * bg[2],
+                acc[3:4, :],
+            ],
+            axis=0,
+        )
 
-    T = t_ref[:]
-    acc = acc_ref[:]
-    out_ref[0] = jnp.concatenate(
+
+def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, res_ref, v_ref, grads_ref,
+                t_ref, done_ref, e_ref, *, tile_width, num_tiles):
+    i = pl.program_id(0)
+    tile = ct[i]
+    alive = tile < num_tiles
+
+    @pl.when(alive & (cloc[i] == 0))
+    def _():
+        t_ref[:] = jnp.ones((1, P), jnp.float32)
+        done_ref[:] = jnp.zeros((1, P), jnp.float32)
+        e_ref[:] = jnp.zeros((1, P), jnp.float32)
+
+    alldone = jnp.min(done_ref[:]) > 0.5
+    run = alive & jnp.logical_not(alldone)
+
+    # every visited grad block must be written: zeros when skipping
+    @pl.when(jnp.logical_not(run))
+    def _():
+        grads_ref[0] = jnp.zeros((ATTR_ROWS, K), jnp.float32)
+
+    @pl.when(run)
+    def _():
+        pxf, pyf = _pixel_coords(tile, tile_width)
+        v4 = v_ref[0]  # (4, P) cotangent of this tile's output block
+        total4 = res_ref[0]  # (4, P) fwd output
+        d_tot = jnp.sum(v4 * total4, axis=0, keepdims=True)  # (1, P)
+        T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
+        g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
+        w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
+
+        # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
+        dot1 = jax.lax.dot_general(
+            g["ctilde"], v4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, P)
+        cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
+        term_a = d_tot - E - cum_wd  # (K, P) via broadcast
+        a = g["a"]
+        om = 1.0 - a
+        # gsplat guard: no gradient through the 0.999 clamp
+        grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
+        v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
+        v_sigma = -g["ga"] * v_a  # (K, P)
+
+        dx, dy = g["dx"], g["dy"]
+        v_color = jax.lax.dot_general(
+            w, v4[0:3, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, 3)
+        v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
+        v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
+        v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
+        v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
+        v_mx = -jnp.sum((g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True)
+        v_my = -jnp.sum((g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True)
+
+        gbuf = jnp.concatenate(
+            [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
+             jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
+            axis=1,
+        )  # (K, 16)
+        grads_ref[0] = jnp.transpose(gbuf, (1, 0))  # (16, K)
+
+        t_ref[:] = T_new
+        done_ref[:] = done_new.astype(jnp.float32)
+        e_ref[:] = E + cum_wd[K - 1 : K, :]
+
+
+def _chunk_plan(counts, starts, num_tiles: int, chunk_cap: int, n_blocks: int):
+    """Chunk list (in-XLA, cheap): one entry per K-instance chunk, tile-major.
+    Unused entries point at the trash tile/block. Returns
+    (tile, local_idx, attr_block, n_valid_rows, is_last, tile_counts)."""
+    nchunks = -(-counts // K)  # (T,)
+    ccum = jnp.cumsum(nchunks)
+    ctotal = ccum[-1]
+    cstarts = ccum - nchunks
+    dst = jnp.where(nchunks > 0, cstarts, chunk_cap)
+    tile_fill, cstart_fill = _forward_fill(
+        (
+            jnp.zeros(chunk_cap, jnp.int32).at[dst].set(
+                jnp.arange(1, num_tiles + 1, dtype=jnp.int32), mode="drop"
+            ),
+            jnp.zeros(chunk_cap, jnp.int32).at[dst].set(cstarts, mode="drop"),
+        ),
+        block=512,
+    )
+    slots = jnp.arange(chunk_cap, dtype=jnp.int32)
+    valid = (slots < ctotal) & (tile_fill > 0)
+    tile = tile_fill - 1
+    local = slots - cstart_fill
+    tile_c = jnp.clip(tile, 0, num_tiles - 1)
+    ct = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    cloc = jnp.where(valid, local, 0).astype(jnp.int32)
+    cslot = jnp.where(valid, starts[tile_c] // K + local, n_blocks - 1).astype(
+        jnp.int32
+    )
+    cnv = jnp.where(valid, jnp.clip(counts[tile_c] - local * K, 0, K), 0).astype(
+        jnp.int32
+    )
+    clast = (valid & (local == nchunks[tile_c] - 1)).astype(jnp.int32)
+    return (ct, cloc, cslot, cnv, clast, counts.astype(jnp.int32))
+
+
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_attrs(table, aligned, slot_cap):
+    """attrs_rows = table[ids] with padding zeroed. The custom backward avoids
+    XLA's scatter-add (~550 ms at 5M rows on v5e — TPU scatters are effectively
+    serial): instances of one gaussian are contiguous in pre-sort slot order,
+    so per-gaussian gradient sums are an inverse-permutation row gather + one
+    cumulative sum + segment-boundary differences — all sort/gather/cumsum ops
+    TPUs run at bandwidth."""
+    ids = aligned.ids
+    valid = (ids >= 0)[:, None]
+    return jnp.where(valid, table[jnp.maximum(ids, 0)], 0.0)
+
+
+def _gather_attrs_fwd(table, aligned, slot_cap):
+    return _gather_attrs(table, aligned, slot_cap), (aligned, table.shape[0])
+
+
+def _gather_attrs_bwd(slot_cap, res, v_rows):
+    aligned, n = res
+    cap_total = aligned.src_of.shape[0]
+    # aligned position of each pre-sort index (inverse permutation via sort)
+    _, pos_of = jax.lax.sort(
+        (aligned.src_of, jnp.arange(cap_total, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    slot_v = v_rows[pos_of[:slot_cap]]  # (slot_cap, 16) in gaussian-major order
+    csi = jnp.cumsum(slot_v, axis=0)  # inclusive
+
+    def cs_at(i):
+        ic = jnp.clip(i, 0, slot_cap)
+        return jnp.where((ic > 0)[:, None], csi[jnp.maximum(ic - 1, 0)], 0.0)
+
+    st = jnp.clip(aligned.gstarts, 0, slot_cap)
+    en = jnp.clip(aligned.gstarts + aligned.gcounts, 0, slot_cap)
+    seg = cs_at(en) - cs_at(st)  # (N, 16) per depth-sorted gaussian
+    # map back to original gaussian ids (inverse of the depth sort, again as a
+    # sort + gather rather than a scatter)
+    _, pos_by_gauss = jax.lax.sort(
+        (aligned.order, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    v_table = seg[pos_by_gauss]
+    f0 = jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), aligned
+    )
+    return v_table, f0
+
+
+_gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
+
+def _attrs_blocks(attrs_rows):
+    cap_t = attrs_rows.shape[0]
+    return jnp.concatenate(
         [
-            acc[0:1, :] + T * bg_ref[0],
-            acc[1:2, :] + T * bg_ref[1],
-            acc[2:3, :] + T * bg_ref[2],
-            acc[3:4, :],
+            jnp.transpose(attrs_rows.reshape(cap_t // K, K, ATTR_ROWS), (0, 2, 1)),
+            jnp.zeros((1, ATTR_ROWS, K), jnp.float32),  # trash block
         ],
         axis=0,
     )
 
 
-def _bwd_kernel(
-    starts_ref, counts_ref, attrs_ref, res_ref, v_ref, grads_ref,
-    buf_ref, gbuf_ref, t_ref, done_ref, e_ref, sem_ref, wsem_ref, *, tile_width,
-):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    n = counts_ref[t]
-    nchunks = (n + K - 1) // K
-    pxf, pyf = _pixel_coords(t, tile_width)
-
-    v4 = v_ref[0]  # (4, P) cotangent of this tile's output block
-    total4 = res_ref[0]  # (4, P) fwd output
-    d_tot = jnp.sum(v4 * total4, axis=0, keepdims=True)  # (1, P)
-
-    t_ref[:] = jnp.ones((1, P), jnp.float32)
-    done_ref[:] = jnp.zeros((1, P), jnp.float32)
-    e_ref[:] = jnp.zeros((1, P), jnp.float32)
-
-    def chunk_dma(c):
-        s0 = pl.multiple_of(start + c * K, ALIGN)
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(s0, K)], buf_ref.at[c % 2], sem_ref.at[c % 2]
-        )
-
-    def write_dma(c):
-        s0 = pl.multiple_of(start + c * K, ALIGN)
-        return pltpu.make_async_copy(
-            gbuf_ref.at[c % 2], grads_ref.at[:, pl.ds(s0, K)], wsem_ref.at[c % 2]
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        chunk_dma(0).start()
-
-    def body(c, alldone):
-        @pl.when(c + 1 < nchunks)
-        def _():
-            chunk_dma(c + 1).start()
-
-        chunk_dma(c).wait()
-
-        # wait for the write issued two chunks ago before reusing its slot
-        @pl.when(c >= 2)
-        def _():
-            write_dma(c - 2).wait()
-
-        # once every pixel has terminated, remaining instances get zero grads:
-        # skip the VPU work, still write (zeros) so the output rows are defined
-        @pl.when(alldone != 0)
-        def _():
-            gbuf_ref[c % 2] = jnp.zeros((ATTR_ROWS, K), jnp.float32)
-
-        @pl.when(alldone == 0)
-        def _():
-            T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
-            g = _chunk_geometry(
-                jnp.transpose(buf_ref[c % 2], (1, 0)), pxf, pyf, c * K, n
-            )
-            w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
-
-            # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
-            dot1 = jax.lax.dot_general(
-                g["ctilde"], v4, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (K, P)
-            cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
-            term_a = d_tot - E - cum_wd  # (K, P) via broadcast
-            a = g["a"]
-            om = 1.0 - a
-            # gsplat guard: no gradient through the 0.999 clamp
-            grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
-            v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
-            v_sigma = -g["ga"] * v_a  # (K, P)
-
-            dx, dy = g["dx"], g["dy"]
-            v_color = jax.lax.dot_general(
-                w, v4[0:3, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (K, 3)
-            v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
-            v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
-            v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
-            v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
-            v_mx = -jnp.sum(
-                (g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True
-            )
-            v_my = -jnp.sum(
-                (g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True
-            )
-
-            gbuf = jnp.concatenate(
-                [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
-                 jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
-                axis=1,
-            )  # (K, 16)
-            gbuf_ref[c % 2] = jnp.transpose(gbuf, (1, 0))  # (16, K)
-
-            t_ref[:] = T_new
-            done_ref[:] = done_new.astype(jnp.float32)
-            e_ref[:] = E + cum_wd[K - 1 : K, :]
-
-        write_dma(c).start()
-        return (jnp.min(done_ref[:]) > 0.5).astype(jnp.int32)
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-
-    # drain the last (up to two) outstanding writes
-    @pl.when(nchunks >= 2)
-    def _():
-        write_dma(nchunks - 2).wait()
-
-    @pl.when(nchunks >= 1)
-    def _():
-        write_dma(nchunks - 1).wait()
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _rasterize_sorted(attrs_t, starts, counts, background, num_tiles_w_h):
-    out, _ = _rasterize_sorted_fwd(attrs_t, starts, counts, background, num_tiles_w_h)
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rasterize_sorted(attrs_rows, plan, meta, background):
+    out, _ = _rasterize_sorted_fwd(attrs_rows, plan, meta, background)
     return out
 
 
-def _rasterize_sorted_fwd(attrs_t, starts, counts, background, num_tiles_w_h):
-    tw, th = num_tiles_w_h
+def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
+    tw, th, chunk_cap = meta
     num_tiles = tw * th
+    ct, cloc, cslot, cnv, clast, _counts = plan
+    attrs_b = _attrs_blocks(attrs_rows)
     bg4 = jnp.concatenate([background, jnp.zeros((1,), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((4, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile_width=tw),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, P), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_interpret_mode(),
-    )(starts, counts, bg4, attrs_t)
-    return out, (attrs_t, starts, counts, background, out)
-
-
-def _rasterize_sorted_bwd(num_tiles_w_h, res, v_out):
-    attrs_t, starts, counts, background, out = res
-    tw, th = num_tiles_w_h
-    num_tiles = tw * th
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        num_scalar_prefetch=6,
+        grid=(chunk_cap,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(
+                (1, ATTR_ROWS, K),
+                lambda i, ct, cl, cs, nv, la, bg: (cs[i], 0, 0),
+            ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_specs=pl.BlockSpec(
+            (1, 4, P), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
-            pltpu.VMEM((2, ATTR_ROWS, K), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    v_attrs_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile_width=tw),
-        out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
+
+    def kern(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref, t_ref, done_ref):
+        _fwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref,
+                    t_ref, done_ref, tile_width=tw, num_tiles=num_tiles)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, P), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            has_side_effects=True,
         ),
         interpret=_interpret_mode(),
-    )(starts, counts, attrs_t, out, v_out)
-    # background cotangent: sum_p T_final[p] * v_rgb[:, p]
-    t_final = 1.0 - out[:, 3, :]  # (num_tiles, P)
-    v_bg = jnp.einsum("tp,tcp->c", t_final, v_out[:, 0:3, :])
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return v_attrs_t, f0(starts), f0(counts), v_bg
+    )(ct, cloc, cslot, cnv, clast, bg4, attrs_b)
+    return out, (attrs_rows, plan, background, out)
+
+
+def _rasterize_sorted_bwd(meta, res, v_out):
+    attrs_rows, plan, background, out = res
+    tw, th, chunk_cap = meta
+    num_tiles = tw * th
+    ct, cloc, cslot, cnv, clast, counts = plan
+    cap_t = attrs_rows.shape[0]
+    n_blocks = cap_t // K + 1
+    attrs_b = _attrs_blocks(attrs_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(chunk_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
+            ),
+            pl.BlockSpec((1, 4, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 4, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+
+    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, res_ref, v_ref, grads_ref,
+             t_ref, done_ref, e_ref):
+        _bwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, res_ref, v_ref,
+                    grads_ref, t_ref, done_ref, e_ref, tile_width=tw,
+                    num_tiles=num_tiles)
+
+    grads_b = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, ATTR_ROWS, K), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret_mode(),
+    )(ct, cloc, cslot, cnv, clast, attrs_b, out, v_out)
+    v_attrs = jnp.transpose(grads_b[:-1], (0, 2, 1)).reshape(cap_t, ATTR_ROWS)
+    # background cotangent: sum_p T_final[p] * v_rgb[:, p]; mask empty tiles
+    # (their fwd rows were never written and may hold garbage/NaN)
+    nonempty = (counts > 0)[:, None]
+    t_final = jnp.where(nonempty, 1.0 - out[:num_tiles, 3, :], 0.0)
+    v_bg = jnp.einsum("tp,tcp->c", t_final, v_out[:num_tiles, 0:3, :])
+    f0 = jax.tree.map(lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
+    return v_attrs, f0, v_bg
 
 
 _rasterize_sorted.defvjp(_rasterize_sorted_fwd, _rasterize_sorted_bwd)
@@ -442,24 +488,21 @@ def rasterize(
     tw = -(-width // TILE)
     th = -(-height // TILE)
     num_tiles = tw * th
-    # aligned layout capacity: every tile may waste up to ALIGN-1 slots, plus
-    # K slack for the final tile's chunk overrun.
-    cap_padded = isect_cap + ALIGN * num_tiles + K
-    isect = isect_tiles(
+    # aligned layout capacity: every tile may waste up to ALIGN-1 slots
+    cap_round = -(-isect_cap // K) * K
+    cap_padded = cap_round + ALIGN * num_tiles
+    chunk_cap = cap_round // K + num_tiles + 1
+    aligned = isect_tiles_aligned(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(radii),
         jax.lax.stop_gradient(depths),
-        TILE, tw, th, isect_cap,
+        TILE, tw, th, cap_round, ALIGN,
     )
-    ids, starts, counts = align_tile_ranges(isect, num_tiles, ALIGN, cap_padded)
-    valid = (ids >= 0)[:, None]
-    idc = jnp.maximum(ids, 0)
+    starts, counts, n_isects = aligned.starts, aligned.counts, aligned.n_isects
 
     # ONE row-gather of a packed (N, 16) attribute table instead of 9 scalar
     # gathers — random-access count, not payload bytes, dominates TPU gather
-    # cost. `where` (not multiply): its VJP *selects*, so garbage/NaN rows of
-    # the backward kernel's unwritten padding slots are dropped rather than
-    # turned into NaN * 0 before the scatter-add back to per-Gaussian grads.
+    # cost. Its custom VJP reduces per-gaussian grads without XLA scatters.
     table = jnp.concatenate(
         [
             means2d, conics, opacities[:, None], colors,
@@ -467,10 +510,16 @@ def rasterize(
         ],
         axis=1,
     )  # (N, 16)
-    attrs_t = jnp.where(valid, table[idc], 0.0).T  # (16, cap_padded)
-    out = _rasterize_sorted(attrs_t, starts, counts, background, (tw, th))
+    attrs_rows = _gather_attrs(table, aligned, cap_round)  # (cap_padded, 16)
+
+    plan = _chunk_plan(counts, starts, num_tiles, chunk_cap, cap_padded // K + 1)
+    out = _rasterize_sorted(attrs_rows, plan, (tw, th, chunk_cap), background)
+    # empty tiles were never visited by the kernel: plain background
+    empty = (counts == 0)[:, None, None]
+    bg4 = jnp.concatenate([background, jnp.zeros((1,), jnp.float32)])
+    img_tiles = jnp.where(empty, bg4[None, :, None], out[:num_tiles])
     # (num_tiles, 4, P) -> (4, th*TILE, tw*TILE) -> crop
-    img = out.reshape(th, tw, 4, TILE, TILE)
+    img = img_tiles.reshape(th, tw, 4, TILE, TILE)
     img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(4, th * TILE, tw * TILE)
     img = img[:, :height, :width]
-    return img[0:3], img[3], isect.n_isects
+    return img[0:3], img[3], n_isects

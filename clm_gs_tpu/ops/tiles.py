@@ -32,6 +32,18 @@ import jax
 import jax.numpy as jnp
 
 
+class AlignedIsect(NamedTuple):
+    ids: jnp.ndarray  # (isect_cap + align*num_tiles,) gaussian id, -1 = padding
+    starts: jnp.ndarray  # (num_tiles + 1,) aligned segment starts
+    counts: jnp.ndarray  # (num_tiles,) true per-tile instance counts
+    n_isects: jnp.ndarray  # () true instance count
+    # backward-pass helpers (scatter-free per-gaussian gradient reduction):
+    src_of: jnp.ndarray  # (cap_total,) pre-sort index of each aligned position
+    gstarts: jnp.ndarray  # (N,) slot-space segment start per depth-sorted gaussian
+    gcounts: jnp.ndarray  # (N,) instances per depth-sorted gaussian
+    order: jnp.ndarray  # (N,) depth-sort permutation (sorted pos -> gaussian id)
+
+
 class IsectResults(NamedTuple):
     gauss_ids: jnp.ndarray  # (cap,) int32 index into the *input* gaussian arrays
     tile_ids: jnp.ndarray  # (cap,) int32; == num_tiles for padding slots
@@ -179,6 +191,100 @@ def isect_tiles(
     ).astype(jnp.int32)
 
     return IsectResults(gauss_ids, tile_sorted, tile_offsets, n_isects)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_size", "tile_width", "tile_height", "isect_cap", "align"),
+)
+def isect_tiles_aligned(
+    means2d,
+    radii,
+    depths,
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    isect_cap: int,
+    align: int,
+):
+    """Binning straight into the K-aligned per-tile layout the rasterizer
+    consumes: instead of sorting into contiguous ranges and then permuting
+    (a ~95 ms scatter at 4M on v5e), per-tile padding *dummies* are appended
+    before the tile sort — the stable sort then emits every tile's segment
+    already rounded up to `align` slots (reals first, depth-ordered; dummies
+    carry id -1). Returns (ids (isect_cap + align*num_tiles,), starts
+    (num_tiles+1,), counts (num_tiles,), n_isects).
+    """
+    num_tiles = tile_width * tile_height
+    n = means2d.shape[0]
+
+    d_key = jnp.where(radii > 0, depths, jnp.inf)
+    _, order = jax.lax.sort(
+        (d_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    m2d_s = means2d[order]
+    r_s = radii[order]
+    x0, x1, y0, y1 = tile_bbox(m2d_s, r_s, tile_size, tile_width, tile_height)
+    wds = x1 - x0
+    counts_g = jnp.where(r_s > 0, wds * (y1 - y0), 0)
+    cum = jnp.cumsum(counts_g)
+    n_isects = cum[-1]
+    starts_g = cum - counts_g
+
+    slots = jnp.arange(isect_cap, dtype=jnp.int32)
+    packed_geo = (x0 << 18) | (y0 << 9) | wds
+    dst = jnp.where(counts_g > 0, starts_g, isect_cap)
+
+    def scat(src):
+        return jnp.zeros(isect_cap, jnp.int32).at[dst].set(src, mode="drop")
+
+    geo_f, starts_f, orig_f = _forward_fill(
+        (scat(packed_geo), scat(starts_g), scat(order))
+    )
+    valid = slots < n_isects
+    local = slots - starts_f
+    w = jnp.maximum(geo_f & 0x1FF, 1)
+    ty = ((geo_f >> 9) & 0x1FF) + local // w
+    tx = (geo_f >> 18) + local % w
+    tile = jnp.where(valid, ty * tile_width + tx, num_tiles)
+    orig = jnp.where(valid, orig_f, -1)
+
+    # per-tile counts (scatter-add into a cache-resident histogram), padded
+    # segment starts, and the dummy entries that round each tile up to align
+    counts_t = (
+        jnp.zeros(num_tiles + 1, jnp.int32).at[tile].add(1, mode="drop")[:num_tiles]
+    )
+    padded_t = -(-counts_t // align) * align
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_t).astype(jnp.int32)]
+    )
+    n_dummy_t = padded_t - counts_t  # in [0, align)
+    dcap = align * num_tiles
+    dcum = jnp.cumsum(n_dummy_t)
+    dstarts = dcum - n_dummy_t
+    ddst = jnp.where(n_dummy_t > 0, dstarts, dcap)
+    (dtile_f,) = _forward_fill(
+        (
+            jnp.zeros(dcap, jnp.int32)
+            .at[ddst]
+            .set(jnp.arange(1, num_tiles + 1, dtype=jnp.int32), mode="drop"),
+        )
+    )
+    dslots = jnp.arange(dcap, dtype=jnp.int32)
+    dvalid = (dslots < dcum[-1]) & (dtile_f > 0)
+    dummy_tile = jnp.where(dvalid, dtile_f - 1, num_tiles)
+
+    # stable sort: reals (earlier positions) precede dummies within a tile.
+    # carry the pre-sort index too — its inverse lets the backward pass reduce
+    # per-gaussian gradients without any scatter.
+    keys = jnp.concatenate([tile, dummy_tile])
+    payload = jnp.concatenate([orig, jnp.full(dcap, -1, jnp.int32)])
+    src = jnp.arange(isect_cap + dcap, dtype=jnp.int32)
+    _, ids, src_of = jax.lax.sort((keys, payload, src), num_keys=1, is_stable=True)
+    return AlignedIsect(
+        ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
+        src_of=src_of, gstarts=starts_g, gcounts=counts_g, order=order,
+    )
 
 
 def align_tile_ranges(res: IsectResults, num_tiles: int, align: int, cap_padded: int):
