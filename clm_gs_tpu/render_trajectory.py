@@ -96,6 +96,11 @@ def look_at_camera(pos, target, up=(0.0, -1.0, 0.0)):
 
 def main(argv=None):
     ap = argparse.ArgumentParser("clm_gs_tpu trajectory renderer")
+    ap.add_argument(
+        "--model_dir", default="",
+        help="trained run dir: reads args.json and the newest point_cloud "
+             "(the reference's get_combined_args/cfg_args merge)",
+    )
     ap.add_argument("--load_ply_path", default="")
     ap.add_argument("--load_pt_path", default="")
     ap.add_argument("--source_path", "-s", default="")
@@ -119,12 +124,33 @@ def main(argv=None):
     from clm_gs_tpu.data.cameras import intrinsics_from_fov
     from clm_gs_tpu.models import gaussians as G
 
+    if args.model_dir:
+        # merge the run's saved config (get_combined_args analogue,
+        # arguments/__init__.py:281-310)
+        import json as _json
+
+        cfg_path = os.path.join(args.model_dir, "args.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                run_cfg = _json.load(f)
+            args.source_path = args.source_path or run_cfg["model"]["source_path"]
+            args.sh_degree = run_cfg["model"]["sh_degree"]
+            if run_cfg["model"].get("white_background"):
+                args.white_background = True
+        pc_root = os.path.join(args.model_dir, "point_cloud")
+        iters = sorted(
+            (d for d in os.listdir(pc_root) if d.startswith("iteration_")),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        args.load_ply_path = os.path.join(pc_root, iters[-1], "point_cloud.ply")
+        print(f"using {args.load_ply_path}", file=sys.stderr)
+
     if args.load_pt_path:
         state = G.load_tensors(args.load_pt_path)
     elif args.load_ply_path:
         state = G.load_ply(args.load_ply_path)
     else:
-        ap.error("need --load_ply_path or --load_pt_path")
+        ap.error("need --model_dir, --load_ply_path or --load_pt_path")
     print(f"loaded {int(state.n_alive)} gaussians", file=sys.stderr)
 
     # trajectory from training cameras if a scene is given, else orbit the pcd
