@@ -46,14 +46,17 @@ def make_sharded_train_step(
         """Runs per-device inside shard_map. params/alive are the local gauss
         shard; cameras/gts are the local data shard."""
 
+        C_local = params.capacity
+
         def one_cam(carry, cam):
             vm, K, c2w, gt = cam
 
-            def loss_fn(p):
+            def loss_fn(p, probe):
                 proj = fully_fused_projection(
                     p.xyz, p.quat, jnp.exp(p.log_scale), vm[None], K[None],
                     width, height, alive=alive,
                 )
+                means2d = proj.means2d[0] + probe
                 dirs = p.xyz - c2w[:3, 3][None, :]
                 basis = sh_basis(dirs) * degree_mask(sh_degree)
                 colors = jnp.maximum(
@@ -70,40 +73,49 @@ def make_sharded_train_step(
                     x, "gauss", axis=0, tiled=True
                 )
                 image, _, n_isects = rasterize(
-                    gather(proj.means2d[0]), gather(proj.conics[0]),
+                    gather(means2d), gather(proj.conics[0]),
                     gather(colors), gather(opac), gather(proj.depths[0]),
                     gather(proj.radii[0]), width, height, bg, isect_cap,
                 )
                 return photometric_loss(image, gt), (proj.radii[0], n_isects)
 
-            (loss, (radii, n_isects)), g = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            grads_acc, vis_any, mi = carry
+            probe0 = jnp.zeros((C_local, 2), jnp.float32)
+            (loss, (radii, n_isects)), (g, g_probe) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, probe0)
+            grads_acc, stats_acc, vis_any, mi = carry
+            vis = radii > 0
+            gp = g_probe * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
+            stats_acc = (
+                stats_acc[0] + jnp.linalg.norm(gp, axis=-1) * vis,
+                stats_acc[1] + vis.astype(jnp.float32),
+            )
             return (
                 (
                     jax.tree.map(jnp.add, grads_acc, g),
-                    vis_any | (radii > 0),
+                    stats_acc,
+                    vis_any | vis,
                     jnp.maximum(mi, n_isects),
                 ),
                 loss,
             )
 
-        C_local = params.capacity
         init = (
             jax.tree.map(jnp.zeros_like, params),
+            (jnp.zeros(C_local, jnp.float32), jnp.zeros(C_local, jnp.float32)),
             jnp.zeros(C_local, bool),
             jnp.zeros((), jnp.int32),
         )
-        (grads, vis_any, max_isects), losses = jax.lax.scan(
+        (grads, stats, vis_any, max_isects), losses = jax.lax.scan(
             one_cam, init, (viewmats, Ks, camtoworlds, gts)
         )
-        # camera-parallel: grads sum over the data axis; losses gathered
+        # camera-parallel: grads/stats sum over the data axis; losses gathered
         grads = jax.lax.psum(grads, "data")
+        stats = jax.lax.psum(stats, "data")
         vis_any = jax.lax.psum(vis_any.astype(jnp.int32), "data") > 0
         max_isects = jax.lax.pmax(jax.lax.pmax(max_isects, "data"), "gauss")
         losses = jax.lax.all_gather(losses, "data", axis=0, tiled=True)
-        return grads, vis_any, max_isects, losses
+        return grads, stats, vis_any, max_isects, losses
 
     smapped = jax.shard_map(
         local_losses,
@@ -122,6 +134,7 @@ def make_sharded_train_step(
                 xyz=P("gauss"), opacity=P("gauss"), log_scale=P("gauss"),
                 quat=P("gauss"), sh=P("gauss"),
             ),
+            (P("gauss"), P("gauss")),
             P("gauss"), P(), P(),
         ),
         check_vma=False,
@@ -133,7 +146,7 @@ def make_sharded_train_step(
         lrs: Dict[str, jnp.ndarray], adam_cfg: AdamConfig, background,
     ):
         bsz = gt_images.shape[0]
-        grads, vis_any, max_isects, losses = smapped(
+        grads, stats, vis_any, max_isects, losses = smapped(
             state.params, state.alive, cams.viewmats, cams.Ks,
             cams.camtoworlds, gt_images, jnp.asarray(sh_degree), background,
         )
@@ -144,7 +157,8 @@ def make_sharded_train_step(
         )
         new_state = GaussianState(
             params=new_params, alive=state.alive, n_alive=state.n_alive,
-            xyz_grad_accum=state.xyz_grad_accum, denom=state.denom,
+            xyz_grad_accum=state.xyz_grad_accum + stats[0],
+            denom=state.denom + stats[1],
             max_radii2d=state.max_radii2d,
         )
         return new_state, new_opt, StepOut(losses, max_isects, vis_any)

@@ -157,12 +157,6 @@ def training(cfg: Config):
             )
             logger.write(f"multi-chip mesh: {dict(mesh.shape)}\n")
             sharded_step = (mesh, _dsh(mesh))
-            if not cfg.opt.disable_auto_densification:
-                logger.write(
-                    "note: densification stats are not yet accumulated by the "
-                    "sharded step; disabling auto densification for this run\n"
-                )
-                cfg.opt.disable_auto_densification = True
         else:
             logger.write(
                 f"mesh data axis {n_data} does not divide bsz {bsz}; "
