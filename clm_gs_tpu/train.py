@@ -258,10 +258,12 @@ def training(cfg: Config):
                 f"ema: {ema_loss:.6f} n3dgs: {int(state.n_alive)}\n"
             )
 
-        # adaptive isect capacity (bucketed growth, recompile on change)
+        # adaptive isect capacity (bucketed growth, recompile on change).
+        # Keep the margin tight: binning/gather/kernel grids all scale with the
+        # capacity, so oversizing costs real time every camera.
         mi = int(out.max_isects)
-        if mi > 0.9 * isect_cap:
-            isect_cap = round_up(int(mi * 1.5), 2**16)
+        if mi > 0.92 * isect_cap:
+            isect_cap = round_up(int(mi * 1.25), 2**18)
             logger.write(f"isect_cap -> {isect_cap}\n")
 
         # ---- eval ----
