@@ -73,3 +73,40 @@ def combined_loss(image, image_gt, lambda_dssim: float = LAMBDA_DSSIM):
     return (1.0 - lambda_dssim) * l1_loss(image, image_gt) + lambda_dssim * (
         1.0 - ssim(image, image_gt)
     )
+
+
+def l1_loss_pixelwise_masked(img, gt, mask):
+    """Masked pixelwise L1 (loss_utils.py:88-106): mean over masked pixels."""
+    diff = jnp.abs(img - gt) * mask
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * img.shape[0], 1.0)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim_masked(img, gt, mask, window_size: int = 11):
+    """Masked SSIM (loss_utils.py:108-132): mean of the SSIM map over masked
+    pixels only."""
+    w1d = jnp.asarray(_gaussian_window(window_size, 1.5))
+
+    def blur(x):
+        c = x.shape[0]
+        kh = jnp.tile(w1d.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
+        kw = jnp.tile(w1d.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
+        y = jax.lax.conv_general_dilated(
+            x[None], kh, (1, 1), [(window_size // 2,) * 2, (0, 0)],
+            feature_group_count=c,
+        )
+        y = jax.lax.conv_general_dilated(
+            y, kw, (1, 1), [(0, 0), (window_size // 2,) * 2],
+            feature_group_count=c,
+        )
+        return y[0]
+
+    mu1, mu2 = blur(img), blur(gt)
+    s1 = blur(img * img) - mu1 * mu1
+    s2 = blur(gt * gt) - mu2 * mu2
+    s12 = blur(img * gt) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2)
+    )
+    return jnp.sum(m * mask) / jnp.maximum(jnp.sum(mask) * img.shape[0], 1.0)

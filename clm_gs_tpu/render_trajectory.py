@@ -225,3 +225,30 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def save_topdown_view(state, path, camera_centers=None, max_points=200_000,
+                      seed=0):
+    """Top-down point-cloud visualization with optional camera positions
+    (render_bigcity_images.py:271-637 analogue)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = np.asarray(state.params.xyz)[np.asarray(state.alive)]
+    if len(pts) > max_points:
+        pts = pts[np.random.RandomState(seed).choice(len(pts), max_points)]
+    fig, ax = plt.subplots(figsize=(10, 10))
+    ax.scatter(pts[:, 0], pts[:, 2], s=0.2, c=pts[:, 1], cmap="viridis",
+               alpha=0.5, linewidths=0)
+    if camera_centers is not None:
+        cc = np.asarray(camera_centers)
+        ax.plot(cc[:, 0], cc[:, 2], "r.-", markersize=3, linewidth=0.5,
+                label="cameras")
+        ax.legend()
+    ax.set_aspect("equal")
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

@@ -126,3 +126,11 @@ def psnr(img, gt):
 
 def np_sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
+
+
+def drop_duplicate_gaussians(xyz: np.ndarray, coeff: float = 1.0):
+    """Debug helper (general_utils.py:417): indices of unique gaussian
+    positions after rounding by `coeff` (duplicates from densification)."""
+    key = np.round(np.asarray(xyz) * coeff, 6)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return np.sort(idx)

@@ -1,6 +1,7 @@
 """Rasterizer tests: oracle semantics, Pallas-vs-oracle parity, gradients."""
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -182,3 +183,27 @@ class TestPallasVsOracle:
         )
         assert int(n_isects) > 64
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestGolden:
+    """Golden-image regression: any semantic drift in the render pipeline
+    (projection constants, compositing thresholds, SH basis) breaks this."""
+
+    def test_golden_render_stats(self):
+        m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+            n=80, width=64, height=48, seed=11, angle=0.9
+        )
+        img, alpha, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=8192
+        )
+        img = np.asarray(img)
+        # frozen statistics of the reference implementation (regenerate only
+        # with a deliberate, justified semantics change)
+        stats = np.array(
+            [img.mean(), img.std(), img[:, ::7, ::11].sum(), np.asarray(alpha).mean()]
+        )
+        golden_path = os.path.join(os.path.dirname(__file__), "golden_render.npy")
+        if not os.path.exists(golden_path):
+            np.save(golden_path, stats)
+        golden = np.load(golden_path)
+        np.testing.assert_allclose(stats, golden, rtol=1e-4, atol=1e-5)
