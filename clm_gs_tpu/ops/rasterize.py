@@ -319,22 +319,25 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
 
 def _gather_attrs_bwd(slot_cap, res, v_rows):
     aligned, n = res
-    cap_total = aligned.src_of.shape[0]
-    # aligned position of each pre-sort index (inverse permutation via sort)
-    _, pos_of = jax.lax.sort(
-        (aligned.src_of, jnp.arange(cap_total, dtype=jnp.int32)),
-        num_keys=1, is_stable=True,
-    )
-    slot_v = v_rows[pos_of[:slot_cap]]  # (slot_cap, 16) in gaussian-major order
+    # un-permute v into gaussian-major slot order by carrying the 16 value
+    # columns as sort payloads (cheaper than inverse-perm sort + row gather)
+    ops = (aligned.src_of,) + tuple(v_rows[:, j] for j in range(ATTR_ROWS))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    slot_v = jnp.stack(sorted_ops[1:], axis=1)[:slot_cap]
     csi = jnp.cumsum(slot_v, axis=0)  # inclusive
 
     def cs_at(i):
         ic = jnp.clip(i, 0, slot_cap)
         return jnp.where((ic > 0)[:, None], csi[jnp.maximum(ic - 1, 0)], 0.0)
 
-    st = jnp.clip(aligned.gstarts, 0, slot_cap)
+    # gaussian ranges tile the slot space consecutively in depth-sorted order
+    # (ends[g] == starts[g+1]), so segment sums are adjacent differences of a
+    # single fence gather
     en = jnp.clip(aligned.gstarts + aligned.gcounts, 0, slot_cap)
-    seg = cs_at(en) - cs_at(st)  # (N, 16) per depth-sorted gaussian
+    fence = cs_at(en)  # (N, 16)
+    seg = fence - jnp.concatenate(
+        [jnp.zeros((1, ATTR_ROWS), jnp.float32), fence[:-1]], axis=0
+    )
     # map back to original gaussian ids (inverse of the depth sort, again as a
     # sort + gather rather than a scatter)
     _, pos_by_gauss = jax.lax.sort(
