@@ -319,9 +319,13 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
 
 def _gather_attrs_bwd(slot_cap, res, v_rows):
     aligned, n = res
-    # un-permute v into gaussian-major slot order by carrying the 16 value
-    # columns as sort payloads (cheaper than inverse-perm sort + row gather)
-    ops = (aligned.src_of,) + tuple(v_rows[:, j] for j in range(ATTR_ROWS))
+    # The bwd kernel only ever writes the first 9 gradient columns (the rest of
+    # the packed table is zero padding), so the reduction runs on 9 columns and
+    # pads the rest back at the end. Un-permute v into gaussian-major slot
+    # order by carrying those columns as sort payloads (cheaper than an
+    # inverse-perm sort followed by a row gather).
+    ngc = 9  # _MX.._B
+    ops = (aligned.src_of,) + tuple(v_rows[:, j] for j in range(ngc))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     slot_v = jnp.stack(sorted_ops[1:], axis=1)[:slot_cap]
     csi = jnp.cumsum(slot_v, axis=0)  # inclusive
@@ -334,16 +338,23 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
     # (ends[g] == starts[g+1]), so segment sums are adjacent differences of a
     # single fence gather
     en = jnp.clip(aligned.gstarts + aligned.gcounts, 0, slot_cap)
-    fence = cs_at(en)  # (N, 16)
+    fence = cs_at(en)  # (N, 9)
     seg = fence - jnp.concatenate(
-        [jnp.zeros((1, ATTR_ROWS), jnp.float32), fence[:-1]], axis=0
+        [jnp.zeros((1, ngc), jnp.float32), fence[:-1]], axis=0
     )
-    # map back to original gaussian ids (inverse of the depth sort, again as a
-    # sort + gather rather than a scatter)
-    _, pos_by_gauss = jax.lax.sort(
-        (aligned.order, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    # map back to original gaussian ids (inverse of the depth sort, again via
+    # payload sort rather than a scatter or gather)
+    unsorted = jax.lax.sort(
+        (aligned.order,) + tuple(seg[:, j] for j in range(ngc)),
+        num_keys=1, is_stable=True,
     )
-    v_table = seg[pos_by_gauss]
+    v_table = jnp.concatenate(
+        [
+            jnp.stack(unsorted[1:], axis=1),
+            jnp.zeros((n, ATTR_ROWS - ngc), jnp.float32),
+        ],
+        axis=1,
+    )
     f0 = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), aligned
     )
