@@ -141,17 +141,18 @@ def isect_tiles(
     num_tiles = tile_width * tile_height
     n = means2d.shape[0]
 
-    # 1. depth-sort gaussians (culled ones to the back via +inf depth).
+    # 1. depth-sort gaussians (culled ones to the back via +inf depth). The
+    # per-gaussian tile geometry is computed pre-sort and carried as two sort
+    # payloads — payload columns ride the sort at ~1 ms per M-operand, while
+    # post-sort row gathers of means2d/radii cost ~10-20 ms each at 1M.
+    x0, x1, y0, y1 = tile_bbox(means2d, radii, tile_size, tile_width, tile_height)
+    geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)  # 9 bits each; tiles < 512/axis
+    cnt_pre = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
     d_key = jnp.where(radii > 0, depths, jnp.inf)
-    _, order = jax.lax.sort(
-        (d_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    _, order, packed_geo, counts = jax.lax.sort(
+        (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
+        num_keys=1, is_stable=True,
     )
-    m2d_s = means2d[order]
-    r_s = radii[order]
-
-    x0, x1, y0, y1 = tile_bbox(m2d_s, r_s, tile_size, tile_width, tile_height)
-    wds = x1 - x0
-    counts = jnp.where(r_s > 0, wds * (y1 - y0), 0)
     cum = jnp.cumsum(counts)
     n_isects = cum[-1]
     starts = cum - counts
@@ -165,7 +166,6 @@ def isect_tiles(
     # count > 0 have strictly increasing starts, so scatters never collide,
     # and the packed geometry word is nonzero exactly at set slots (wds >= 1).
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
-    packed_geo = (x0 << 18) | (y0 << 9) | wds  # 9 bits each; tiles < 512/axis
     dst = jnp.where(counts > 0, starts, isect_cap)
 
     def scat(src, dtype=jnp.int32):
@@ -218,21 +218,21 @@ def isect_tiles_aligned(
     num_tiles = tile_width * tile_height
     n = means2d.shape[0]
 
+    # tile geometry computed pre-sort and carried as sort payloads (see
+    # isect_tiles: payload columns beat post-sort row gathers on TPU)
+    x0, x1, y0, y1 = tile_bbox(means2d, radii, tile_size, tile_width, tile_height)
+    geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
+    cnt_pre = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
     d_key = jnp.where(radii > 0, depths, jnp.inf)
-    _, order = jax.lax.sort(
-        (d_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    _, order, packed_geo, counts_g = jax.lax.sort(
+        (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
+        num_keys=1, is_stable=True,
     )
-    m2d_s = means2d[order]
-    r_s = radii[order]
-    x0, x1, y0, y1 = tile_bbox(m2d_s, r_s, tile_size, tile_width, tile_height)
-    wds = x1 - x0
-    counts_g = jnp.where(r_s > 0, wds * (y1 - y0), 0)
     cum = jnp.cumsum(counts_g)
     n_isects = cum[-1]
     starts_g = cum - counts_g
 
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
-    packed_geo = (x0 << 18) | (y0 << 9) | wds
     dst = jnp.where(counts_g > 0, starts_g, isect_cap)
 
     def scat(src):
