@@ -34,7 +34,10 @@ def main():
     N, CAP = 1_000_000, 1_048_576
     W, H = 1237, 822
     BSZ = 4
-    ISECT_CAP = 3 << 20  # ~1.3x the scene's 2.29M instances (adaptive margin)
+    # the cap the trainer's adaptive bucketing converges to for this scene:
+    # round_up(n_isects * 1.25, 2**18) with n_isects = 2287250
+    # (train.py grows the bucket whenever max_isects > 0.92 * cap)
+    ISECT_CAP = 2883584
     rng = np.random.RandomState(0)
     xyz = rng.normal(size=(N, 3)).astype(np.float32) * 2.0
     log_scale = np.full((N, 3), np.log(0.01), np.float32) + 0.3 * rng.normal(
