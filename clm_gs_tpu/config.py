@@ -81,6 +81,9 @@ class OptimizationParams:
     opacity_lr: float = 0.05
     scaling_lr: float = 5e-3
     rotation_lr: float = 1e-3
+    # uniform multiplier on the photometric loss (and hence all gradients);
+    # the reference declares this flag but never reads it
+    # (arguments/__init__.py:213) — here it is actually applied.
     lr_scale_loss: float = 1.0
     lr_scale_pos_and_scale: float = 1.0
     percent_dense: float = 0.01
@@ -129,9 +132,10 @@ class TpuParams:
     shard_gaussians: bool = True
     isect_cap: int = 2 ** 20  # initial instance-buffer capacity (auto-grows)
     capacity_granule: int = 65_536
-    host_offload_sh: bool = True  # clm_offload: SH buffer in pinned host memory
     retention: bool = True  # clm_offload: H/D/G delta transfers between cameras
-    eval_res_cap: int = 0  # 0 = full resolution
+    # cap the longer image side during eval renders (integer downsample of
+    # render + GT); 0 = full resolution
+    eval_res_cap: int = 0
 
 
 @dataclass
@@ -239,9 +243,15 @@ def save_config(cfg: Config, path: str) -> None:
 def load_config(path: str) -> Config:
     with open(path) as f:
         d = json.load(f)
+
+    def mk(cls, sub):
+        # tolerate args.json written by other versions (extra/renamed knobs)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in sub.items() if k in names})
+
     return Config(
-        aux=AuxiliaryParams(**d["aux"]), model=ModelParams(**d["model"]),
-        pipeline=PipelineParams(**d["pipeline"]), opt=OptimizationParams(**d["opt"]),
-        bench=BenchmarkParams(**d["bench"]), debug=DebugParams(**d["debug"]),
-        tpu=TpuParams(**d["tpu"]),
+        aux=mk(AuxiliaryParams, d["aux"]), model=mk(ModelParams, d["model"]),
+        pipeline=mk(PipelineParams, d["pipeline"]), opt=mk(OptimizationParams, d["opt"]),
+        bench=mk(BenchmarkParams, d["bench"]), debug=mk(DebugParams, d["debug"]),
+        tpu=mk(TpuParams, d["tpu"]),
     )

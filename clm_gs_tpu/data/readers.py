@@ -192,6 +192,24 @@ def _read_transforms_cameras(
     return out
 
 
+def detect_scene_type(src: str) -> str:
+    """'city' | 'blender' | 'colmap' (the reference's sceneLoadTypeCallbacks
+    dispatch, scene/__init__.py:58-70). City/Blender both keep
+    transforms_train.json at the source root; MatrixCity frames use
+    'file_name' (images outside the pose dir), Blender 'file_path'."""
+    tpath = os.path.join(src, "transforms_train.json")
+    if not os.path.exists(tpath):
+        return "colmap"
+    try:
+        with open(tpath) as f:
+            d = json.load(f)
+        if bool(d.get("frames")) and "file_name" in d["frames"][0]:
+            return "city"
+    except Exception:
+        pass
+    return "blender"
+
+
 def read_city_scene(
     path: str, ply_path: Optional[str] = None, ocean_mask: bool = False
 ) -> SceneInfo:

@@ -63,7 +63,12 @@ def knn_mean_sq_dist(points, k: int = 3, window: int = WINDOW):
         d2s.append(bwd)
     d2 = jnp.stack(d2s, axis=1)  # (N, 2*window)
     nearest = -jax.lax.top_k(-d2, k)[0]  # k smallest
-    mean = jnp.mean(jnp.where(jnp.isfinite(nearest), nearest, 0.0), axis=0 * 0 + 1)
+    # points with fewer than k in-window neighbors (tiny N or array ends):
+    # average the finite slots only — zero-filling invalid slots would bias
+    # the init scales low.
+    finite = jnp.isfinite(nearest)
+    n_finite = jnp.maximum(jnp.sum(finite, axis=1), 1)
+    mean = jnp.sum(jnp.where(finite, nearest, 0.0), axis=1) / n_finite
     return jnp.maximum(mean[inv], 1e-7)
 
 

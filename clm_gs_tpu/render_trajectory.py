@@ -158,8 +158,11 @@ def main(argv=None):
         from clm_gs_tpu.config import Config
         from clm_gs_tpu.data import readers
 
-        if os.path.exists(os.path.join(args.source_path, "train", "transforms.json")):
+        scene_type = readers.detect_scene_type(args.source_path)
+        if scene_type == "city":
             info = readers.read_city_scene(args.source_path)
+        elif scene_type == "blender":
+            info = readers.read_blender_scene(args.source_path)
         else:
             info = readers.read_colmap_scene(args.source_path)
         centers = np.stack([c.camera_center for c in info.train_cameras])

@@ -30,15 +30,14 @@ class Scene:
         src = cfg.model.source_path
         log = (logger.write if logger else print)
 
-        if os.path.exists(os.path.join(src, "transforms_train.json")) and _is_city_transforms(
-            os.path.join(src, "transforms_train.json")
-        ):
+        scene_type = readers.detect_scene_type(src)
+        if scene_type == "city":
             info = readers.read_city_scene(
                 src,
                 ply_path=cfg.aux.load_ply_path or _find_city_ply(src),
                 ocean_mask=cfg.aux.matrixcity_ocean_mask,
             )
-        elif os.path.exists(os.path.join(src, "transforms_train.json")):
+        elif scene_type == "blender":
             info = readers.read_blender_scene(
                 src, white_background=cfg.model.white_background
             )
@@ -124,19 +123,6 @@ class Scene:
         )
         if self.cfg.debug.save_tensors:
             G.save_tensors(self.gaussians, os.path.join(out_dir, "tensors.npz"))
-
-
-def _is_city_transforms(path: str) -> bool:
-    """MatrixCity frames use 'file_name' (images outside the pose dir);
-    Blender frames use 'file_path' relative to the scene root."""
-    try:
-        import json
-
-        with open(path) as f:
-            d = json.load(f)
-        return bool(d.get("frames")) and "file_name" in d["frames"][0]
-    except Exception:
-        return False
 
 
 def _find_city_ply(src: str) -> Optional[str]:

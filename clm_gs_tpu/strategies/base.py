@@ -71,8 +71,9 @@ def render_one_cam(
     return RenderOut(image, alpha, proj.radii[0], n_isects)
 
 
-def photometric_loss(image, gt_image, lambda_dssim: float = 0.2):
+def photometric_loss(image, gt_image, lambda_dssim: float = 0.2,
+                     loss_scale: float = 1.0):
     """gt arrives as uint8-scaled float; clamp to [0,1] like FusedCompiledLoss
-    (base_engine.py:89-103)."""
+    (base_engine.py:89-103). loss_scale applies --lr_scale_loss uniformly."""
     gt = jnp.clip(gt_image, 0.0, 1.0)
-    return combined_loss(image, gt, lambda_dssim)
+    return combined_loss(image, gt, lambda_dssim) * loss_scale

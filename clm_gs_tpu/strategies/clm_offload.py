@@ -259,6 +259,7 @@ def train_one_batch(
             cams.viewmats[cam_i], cams.Ks[cam_i], cams.camtoworlds[cam_i][:3, 3],
             gt[cam_i], sh_degree, background, width, height, isect_cap, ctx.v_cap,
             lambda_dssim=cfg.opt.lambda_dssim,
+            loss_scale=cfg.opt.lr_scale_loss,
         )
         for n in gpu_grads:
             gpu_grads[n] = gpu_grads[n] + out.gpu_grads[n]
@@ -317,11 +318,13 @@ def train_one_batch(
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
                 shc = None
 
-        # eager host Adam on rows whose last use just passed (cpuadam_thread)
+        # eager host Adam on rows whose last use just passed (cpuadam_thread);
+        # --stop_update_param skips all updates (engine.py:863-875 forbids the
+        # combination with the overlapped CPUAdam — here it just idles it)
         rows = finish_sets[pos]
         if pos == 0 and not sparse_adam and len(never_visible):
             rows = np.concatenate([never_visible, rows])
-        if len(rows):
+        if len(rows) and not cfg.debug.stop_update_param:
             futures.append(
                 ctx.executor.submit(
                     ctx.adam.sparse_step, ctx.sh_host, ctx.sh_grad_host, rows,
@@ -338,8 +341,13 @@ def train_one_batch(
         sh=jnp.zeros_like(p.sh),
     )
     gpu_lrs = {k: lrs[k] for k in ("xyz", "opacity", "log_scale", "quat")}
-    update_mask = (state.alive & vis_any) if sparse_adam else state.alive
-    new_params, new_opt = adam_step(p, grads, opt_state, gpu_lrs, adam_cfg, update_mask)
+    if cfg.debug.stop_update_param:
+        new_params, new_opt = p, opt_state
+    else:
+        update_mask = (state.alive & vis_any) if sparse_adam else state.alive
+        new_params, new_opt = adam_step(
+            p, grads, opt_state, gpu_lrs, adam_cfg, update_mask
+        )
 
     # 6. join host workers (engine.py:898)
     for f in futures:

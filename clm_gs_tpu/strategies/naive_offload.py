@@ -68,12 +68,16 @@ def grow_context(ctx: NaiveContext, new_cap: int, cfg) -> NaiveContext:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "isect_cap", "accumulate_stats", "lambda_dssim"),
+    static_argnames=(
+        "width", "height", "isect_cap", "accumulate_stats", "lambda_dssim",
+        "loss_scale",
+    ),
 )
 def _batch_grads(
     state: GaussianState, cams, gt_images, sh_degree, background,
     width: int, height: int, isect_cap: int, accumulate_stats: bool = True,
     lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0,
 ):
     """Gradient accumulation over the camera microbatches (no optimizer)."""
     params = state.params
@@ -89,7 +93,7 @@ def _batch_grads(
                 p, alive, viewmat, Kmat, c2w[:3, 3], sh_degree,
                 width, height, background, isect_cap, probe=probe,
             )
-            return photometric_loss(out.image, gt, lambda_dssim), out
+            return photometric_loss(out.image, gt, lambda_dssim, loss_scale), out
 
         probe0 = jnp.zeros((C, 2), jnp.float32)
         (loss, out), (g_params, g_probe) = jax.value_and_grad(
@@ -128,7 +132,10 @@ def train_one_batch(
         state, cams, jnp.asarray(gt), sh_degree, background, width, height,
         isect_cap, accumulate_stats=not cfg.opt.disable_auto_densification,
         lambda_dssim=cfg.opt.lambda_dssim,
+        loss_scale=cfg.opt.lr_scale_loss,
     )
+    if cfg.debug.stop_update_param:  # debug: skip all updates (engine.py:331)
+        return state, opt_state, ctx, StepOut(losses, max_isects, vis_any)
 
     # bulk D2H of grads + host Adam over each group
     alive_np = np.asarray(state.alive)

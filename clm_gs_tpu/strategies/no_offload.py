@@ -34,7 +34,7 @@ class StepOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "width", "height", "isect_cap", "sparse_adam", "accumulate_stats",
-        "adam_cfg", "lambda_dssim",
+        "adam_cfg", "lambda_dssim", "loss_scale", "stop_update_param",
     ),
 )
 def train_step(
@@ -52,6 +52,8 @@ def train_step(
     sparse_adam: bool = False,
     accumulate_stats: bool = True,
     lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0,
+    stop_update_param: bool = False,
 ):
     """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut)."""
     params = state.params
@@ -71,7 +73,7 @@ def train_step(
                 p, alive, viewmat, Kmat, campos, sh_degree,
                 width, height, background, isect_cap, probe=probe,
             )
-            return photometric_loss(out.image, gt, lambda_dssim), out
+            return photometric_loss(out.image, gt, lambda_dssim, loss_scale), out
 
         probe0 = jnp.zeros((C, 2), jnp.float32)
         (loss, out), (g_params, g_probe) = jax.value_and_grad(
@@ -102,8 +104,13 @@ def train_step(
     # grad /= bsz before Adam (train.py:533-577)
     grads = jax.tree.map(lambda g: g / bsz, grads)
 
-    update_mask = (alive & vis_any) if sparse_adam else alive
-    new_params, new_opt = adam_step(params, grads, opt_state, lrs, adam_cfg, update_mask)
+    if stop_update_param:  # --stop_update_param debug flag (train.py:549)
+        new_params, new_opt = params, opt_state
+    else:
+        update_mask = (alive & vis_any) if sparse_adam else alive
+        new_params, new_opt = adam_step(
+            params, grads, opt_state, lrs, adam_cfg, update_mask
+        )
 
     new_state = GaussianState(
         params=new_params,

@@ -73,7 +73,9 @@ class MicroOut(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "isect_cap", "v_cap", "lambda_dssim"),
+    static_argnames=(
+        "width", "height", "isect_cap", "v_cap", "lambda_dssim", "loss_scale",
+    ),
 )
 def micro_step_visible(
     xyz, opacity, log_scale, quat,
@@ -82,6 +84,7 @@ def micro_step_visible(
     viewmat, Kmat, campos, gt, sh_degree, background,
     width: int, height: int, isect_cap: int, v_cap: int,
     lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0,
 ) -> MicroOut:
     """One camera's fwd+bwd over its compact visible set. SH colors are
     evaluated from the compact working set; the reference's equivalent is
@@ -110,7 +113,10 @@ def micro_step_visible(
             means2d, proj.conics[0], colors, op_c, proj.depths[0], proj.radii[0],
             width, height, background, isect_cap,
         )
-        return photometric_loss(image, gt, lambda_dssim), (proj.radii[0], n_isects)
+        return (
+            photometric_loss(image, gt, lambda_dssim, loss_scale),
+            (proj.radii[0], n_isects),
+        )
 
     probe0 = jnp.zeros((v_cap, 2), jnp.float32)
     (loss, (radii, n_isects)), grads = jax.value_and_grad(

@@ -242,6 +242,8 @@ def training(cfg: Config):
                 W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
                 accumulate_stats=not cfg.opt.disable_auto_densification,
                 lambda_dssim=cfg.opt.lambda_dssim,
+                loss_scale=cfg.opt.lr_scale_loss,
+                stop_update_param=cfg.debug.stop_update_param,
             )
         else:
             state, opt_state, strategy_ctx, out = strategy.train_one_batch(
@@ -278,6 +280,12 @@ def training(cfg: Config):
 
         # ---- densification ----
         if not cfg.opt.disable_auto_densification and iteration <= cfg.opt.densify_until_iter:
+            # densification stats are garbage without param updates
+            # (reference densification.py:19-20)
+            assert not cfg.debug.stop_update_param, (
+                "stop_update_param must be false for densification; it is a "
+                "debugging flag"
+            )
             if iteration > cfg.opt.densify_from_iter and check_update_at_this_iter(
                 iteration, bsz, cfg.opt.densification_interval, 0
             ):
@@ -375,6 +383,10 @@ def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
     strategy = STRATEGIES[cfg.strategy]
     eval_state = (state, strategy_ctx) if cfg.strategy == "clm_offload" else state
     W, H = scene.width, scene.height
+    # --eval_res_cap: render + compare at an integer-downsampled resolution
+    res_f = 1
+    if cfg.tpu.eval_res_cap and max(W, H) > cfg.tpu.eval_res_cap:
+        res_f = -(-max(W, H) // cfg.tpu.eval_res_cap)
     n_eval_train = min(
         len(scene.test_cameras) or 10, len(scene.train_cameras),
         cfg.opt.max_num_images_to_evaluate,
@@ -390,11 +402,21 @@ def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
         saved = 0
         for cam, gt in iterate_eval(cams, cfg.aux.decode_dataset_path, W, H):
             cb = stack_cameras([cam])
-            img, _ = strategy.eval_one_cam(
-                eval_state, cb.viewmats[0], cb.Ks[0], cb.camtoworlds[0], sh_degree,
-                background, W, H, isect_cap,
-            )
+            Ke, We, He = cb.Ks[0], W, H
             gtj = jnp.asarray(gt)
+            if res_f > 1:
+                We, He = W // res_f, H // res_f
+                Ke = Ke.at[:2].divide(res_f)
+                gtj = jnp.mean(
+                    gtj[:, : He * res_f, : We * res_f].reshape(
+                        3, He, res_f, We, res_f
+                    ),
+                    axis=(2, 4),
+                )
+            img, _ = strategy.eval_one_cam(
+                eval_state, cb.viewmats[0], Ke, cb.camtoworlds[0], sh_degree,
+                background, We, He, isect_cap,
+            )
             l1s.append(float(jnp.mean(jnp.abs(img - gtj))))
             psnrs.append(float(psnr_fn(jnp.clip(img, 0, 1), gtj)))
             if saved < cfg.aux.num_save_images_during_eval:

@@ -260,3 +260,13 @@ class TestDensify:
         assert (np.asarray(new_opt.mu.opacity)[alive] == 0).all()
         # other groups' moments untouched
         assert (np.asarray(new_opt.mu.xyz) == 1).all()
+
+
+class TestKNNSmallN:
+    def test_fewer_than_k_neighbors_not_zero_biased(self):
+        """Points with fewer than k in-window neighbors must average the
+        finite slots only (regression: inf slots were replaced by 0 and
+        included in the mean, biasing init scales low)."""
+        pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        d = np.asarray(knn_mean_sq_dist(pts, k=3))
+        np.testing.assert_allclose(d, [1.0, 1.0], rtol=1e-6)

@@ -139,3 +139,25 @@ class TestBlender:
         img = load_raw_image(cache, info.train_cameras[0].image_name, w, h)
         assert img[:, 0, 0].tolist() == [255, 255, 255]  # transparent -> white
         assert img[0, 12, 12] == 120  # opaque square keeps its color
+
+
+class TestDetectSceneType:
+    """Regression for the trajectory tool's City detection (it used to check
+    <src>/train/transforms.json, a path no reader produces, so City sources
+    fell through to the COLMAP reader and crashed)."""
+
+    def test_city(self, tmp_path):
+        root = TestCity()._make(tmp_path)
+        assert readers.detect_scene_type(root) == "city"
+
+    def test_blender(self, tmp_path):
+        root = tmp_path / "lego"
+        os.makedirs(root, exist_ok=True)
+        frames = [{"file_path": "./train/r_0", "transform_matrix": _c2w(0).tolist()}]
+        with open(root / "transforms_train.json", "w") as f:
+            json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+        assert readers.detect_scene_type(str(root)) == "blender"
+
+    def test_colmap(self, tmp_path):
+        root = make_dataset(str(tmp_path / "scene"), n_cams=3)
+        assert readers.detect_scene_type(root) == "colmap"
