@@ -36,6 +36,7 @@ per-camera re-gather (same math, more traffic).
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field, replace
 from typing import List, Optional
@@ -49,9 +50,11 @@ from clm_gs_tpu.optim import AdamConfig, adam_step
 from clm_gs_tpu.strategies import offload_common as oc
 from clm_gs_tpu.strategies.no_offload import StepOut
 from clm_gs_tpu.utils import native
+from clm_gs_tpu.utils import timer
 from clm_gs_tpu.utils.general import round_up
 
 SH_COLS = 48
+_NULL_TIMER = timer.Timer(enabled=False)
 
 
 @dataclass
@@ -63,7 +66,13 @@ class ClmContext:
     executor: ThreadPoolExecutor = field(
         default_factory=lambda: ThreadPoolExecutor(max_workers=1)
     )
-    pending: List = field(default_factory=list)
+    # overlap meter accumulators (reference trailing-overhead meter,
+    # engine.py:888-917): trailing_s = device-idle wait for the host side per
+    # batch; host_work_s = total host scatter + Adam busy time (main thread +
+    # worker thread; the worker writes only between submit and join).
+    trailing_s: float = 0.0
+    host_work_s: float = 0.0
+    n_batches: int = 0
 
 
 def make_context_empty(cfg, capacity: int, adam_cfg: AdamConfig) -> ClmContext:
@@ -147,10 +156,10 @@ def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
     """Device-side working-set advance for one camera transition.
 
     pd/pn: positions of retained (D) rows in the previous/next layout;
-    hn: positions of host-fetched (H) rows in the next layout; gp: positions
-    of dropped (G) rows in the previous layout. All padded with v_cap
-    (out-of-bounds -> dropped by scatter mode="drop").
-    Returns (sh_next, grad_carry_next, g_rows_out).
+    hn: positions of host-fetched (H) rows in the next layout (length =
+    h_rows rows, bucketed); gp: positions of dropped (G) rows in the previous
+    layout (bucketed). Padding value v_cap -> dropped by scatter mode="drop".
+    Returns (sh_next, grad_carry_next, g_rows_out (len(gp), 48)).
     """
     v = sh_prev.shape[0]
     pdc = jnp.minimum(pd, v - 1)
@@ -165,37 +174,87 @@ def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
     return sh_next, grad_carry, g_rows
 
 
+def _bucket(n: int, v_cap: int) -> int:
+    """Static transfer-buffer size for n rows: next power of two, >= 256,
+    <= v_cap. Bounds the number of _advance_working_set recompiles while
+    keeping H2D/D2H traffic proportional to the actual delta (the reference
+    sizes its retention transfers by the precomputed cnt_h/cnt_g,
+    engine.py:226-236)."""
+    b = 256
+    while b < n:
+        b <<= 1
+    return min(b, v_cap)
+
+
 def _classify_transition(prev_ids, next_ids, v_cap):
     """H/D/G classification for one camera pair (the nonzero_static retention
-    split, engine.py:568-636) as padded position arrays."""
-    common, pd, pn = np.intersect1d(
-        prev_ids, next_ids, assume_unique=True, return_indices=True
-    )
-    in_common_prev = np.zeros(len(prev_ids), bool)
-    in_common_prev[pd] = True
-    gp = np.nonzero(~in_common_prev)[0]
-    in_common_next = np.zeros(len(next_ids), bool)
+    split, engine.py:568-636). Both id lists arrive sorted-unique (they come
+    from jnp.nonzero), so a searchsorted merge does it in O(a log b) — no
+    re-sort like np.intersect1d. Returns padded position arrays
+    (pd, pn: v_cap; hn: h_cap; gp: g_cap) plus the raw gp/hn."""
+    na, nb = len(prev_ids), len(next_ids)
+    if nb:
+        loc = np.searchsorted(next_ids, prev_ids)
+        locc = np.minimum(loc, nb - 1)
+        common_prev = next_ids[locc] == prev_ids
+    else:
+        loc = np.zeros(na, np.int64)
+        common_prev = np.zeros(na, bool)
+    pd = np.nonzero(common_prev)[0]
+    pn = loc[pd]
+    gp = np.nonzero(~common_prev)[0]
+    in_common_next = np.zeros(nb, bool)
     in_common_next[pn] = True
     hn = np.nonzero(~in_common_next)[0]
 
-    def pad(x):
-        out = np.full(v_cap, v_cap, np.int32)
+    def pad(x, cap):
+        out = np.full(cap, v_cap, np.int32)
         out[: len(x)] = x
         return out
 
-    return pad(pd), pad(pn), pad(hn), pad(gp), gp, hn
+    h_cap = _bucket(len(hn), v_cap)
+    g_cap = _bucket(len(gp), v_cap)
+    return pad(pd, v_cap), pad(pn, v_cap), pad(hn, h_cap), pad(gp, g_cap), gp, hn
+
+
+def _timed_sparse_step(ctx, rows, grad_scale, step):
+    """Executor-thread entry: host Adam over `rows`, accumulating busy time
+    for the overlap meter (single worker thread; main thread reads the
+    accumulator only after joining the futures)."""
+    t0 = time.perf_counter()
+    ctx.adam.sparse_step(ctx.sh_host, ctx.sh_grad_host, rows, grad_scale, step)
+    ctx.host_work_s += time.perf_counter() - t0
+
+
+def _drain_pending(ctx, pending, futures, grad_scale, step, stop_update):
+    """Consume one deferred grad transfer: wait for its async D2H, scatter-add
+    into the host grad buffer (send_shs2cpu analogue), then submit the finish
+    set whose last-use grads just landed (the set_signal -> cpuadam_thread
+    handoff, engine.py:807-825)."""
+    g_dev, ids, fin_rows = pending
+    t0 = time.perf_counter()
+    if len(ids):
+        g_np = np.asarray(g_dev)[: len(ids)]
+        native.scatter_add_rows(ctx.sh_grad_host, g_np, ids, accumulate=True)
+    ctx.host_work_s += time.perf_counter() - t0
+    if len(fin_rows) and not stop_update:
+        futures.append(
+            ctx.executor.submit(_timed_sparse_step, ctx, fin_rows, grad_scale, step)
+        )
 
 
 def train_one_batch(
     state, opt_state, ctx: ClmContext, cams, gt, sh_degree,
-    lrs, adam_cfg, background, width, height, isect_cap, cfg,
+    lrs, adam_cfg, background, width, height, isect_cap, cfg, timers=None,
 ):
+    tm = timers if timers is not None else _NULL_TIMER
     p = state.params
     C = state.capacity
     bsz = gt.shape[0]
     gt = jnp.asarray(gt)
 
     # 1. visibility filters (device, GPU attrs only)
+    tm.start("clm.filters")
     F = oc.calculate_filters(
         p.xyz, p.quat, p.log_scale, state.alive, cams.viewmats, cams.Ks,
         width, height, cfg.model.radius_clip, ctx.v_cap,
@@ -208,13 +267,16 @@ def train_one_batch(
             width, height, cfg.model.radius_clip, ctx.v_cap,
         )
     idx_np = np.asarray(F.idx)
+    tm.stop("clm.filters")
 
     # 2-3. TSP order + finish sets (host)
+    tm.start("clm.order")
     dist = np.asarray(oc.hamming_distance_matrix(F.sample))
     alive_np = np.asarray(state.alive)
     order, finish_sets, never_visible = _order_and_finish_sets(
         idx_np, counts_np, dist, alive_np, cfg.aux.reorder_by_min_sparsity_at_end
     )
+    tm.stop("clm.order")
 
     # host adam hyper-state for this batch
     ctx.adam.lr_cols = np.ascontiguousarray(np.asarray(lrs["sh"]), np.float32)
@@ -222,8 +284,14 @@ def train_one_batch(
     step = ctx.adam.step_count
     grad_scale = 1.0 / bsz
     sparse_adam = cfg.aux.sparse_adam
+    stop_update = cfg.debug.stop_update_param
 
-    # 4. microbatch loop
+    # 4. microbatch loop. Overlap structure (the two-stream + event pipeline
+    # of engine.py:464-822, re-expressed via JAX async dispatch): camera i's
+    # grad D2H is started asynchronously and *drained one iteration later* —
+    # after camera i+1's micro-step has been dispatched — so the device
+    # renders camera i+1 while the host scatters camera i's grads and the
+    # worker thread runs Adam on the rows that just finished.
     gpu_grads = {
         n: jnp.zeros_like(getattr(p, n))
         for n in ("xyz", "opacity", "log_scale", "quat")
@@ -234,6 +302,7 @@ def train_one_batch(
     losses = []
     max_isects = jnp.zeros((), jnp.int32)
     futures = []
+    pending = None  # (g_rows device array, target ids, finish rows)
 
     use_retention = getattr(cfg.tpu, "retention", True)
     B = len(order)
@@ -249,11 +318,14 @@ def train_one_batch(
             # full fetch of the visible working set (first camera, or
             # retention disabled); padded rows gather row 0 — masked out by
             # idx >= C inside the micro step.
+            tm.start("clm.fetch_h2d")
             gather_idx = np.where(idx_k < C, idx_k, 0).astype(np.int32)
             shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
             if grad_buf is None:
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
+            tm.stop("clm.fetch_h2d", sync=shc)
 
+        tm.start("clm.micro")
         out = oc.micro_step_visible(
             p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[cam_i],
             cams.viewmats[cam_i], cams.Ks[cam_i], cams.camtoworlds[cam_i][:3, 3],
@@ -274,43 +346,40 @@ def train_one_batch(
         max_isects = jnp.maximum(max_isects, out.n_isects)
 
         grad_buf = grad_buf + out.sh_grad_compact
+        tm.stop("clm.micro", sync=out.loss)
+
+        rows = finish_sets[pos]
+        if pos == 0 and not sparse_adam and len(never_visible):
+            rows = np.concatenate([never_visible, rows])
 
         if use_retention and pos + 1 < B:
             # advance the working set to the next camera: keep D rows on
             # device, fetch only H rows, offload only G rows' grads
             # (send_shs2gpu_stream_retention / send_shs2cpu_..._retention,
-            # engine.py:623-636, 789-803).
+            # engine.py:623-636, 789-803). All transfers bucketed to the
+            # actual delta size.
+            tm.start("clm.advance")
             next_i = int(order[pos + 1])
             next_ids = idx_np[next_i][: int(counts_np[next_i])]
             pd, pn, hn, gp, gp_raw, hn_raw = _classify_transition(
                 valid_ids, next_ids, ctx.v_cap
             )
-            h_ids = next_ids[hn_raw]
-            h_rows = np.zeros((ctx.v_cap, SH_COLS), np.float32)
-            if len(h_ids):
-                h_rows[: len(h_ids)] = native.gather_rows(
-                    ctx.sh_host, h_ids.astype(np.int32)
+            h_rows = np.zeros((len(hn), SH_COLS), np.float32)
+            if len(hn_raw):
+                h_rows[: len(hn_raw)] = native.gather_rows(
+                    ctx.sh_host, next_ids[hn_raw].astype(np.int32)
                 )
-            # hn positions must line up with h_rows packing order
-            hn_aligned = np.full(ctx.v_cap, ctx.v_cap, np.int32)
-            hn_aligned[: len(hn_raw)] = hn_raw
             shc, grad_buf, g_rows = _advance_working_set(
                 shc, grad_buf, jax.device_put(h_rows),
                 jax.device_put(pd), jax.device_put(pn),
-                jax.device_put(hn_aligned), jax.device_put(gp),
+                jax.device_put(hn), jax.device_put(gp),
             )
-            if len(gp_raw):
-                g_np = np.asarray(g_rows)[: len(gp_raw)]
-                native.scatter_add_rows(
-                    ctx.sh_grad_host, g_np, valid_ids[gp_raw], accumulate=True
-                )
+            new_pending = (g_rows, valid_ids[gp_raw], rows)
+            tm.stop("clm.advance")
         else:
             # final microbatch (or retention off): flush the whole buffer
             # (engine.py:815-822)
-            g_np = np.asarray(grad_buf)[:n_vis]
-            native.scatter_add_rows(
-                ctx.sh_grad_host, g_np, valid_ids, accumulate=True
-            )
+            new_pending = (grad_buf, valid_ids, rows)
             if use_retention:
                 grad_buf = None
                 shc = None
@@ -318,19 +387,17 @@ def train_one_batch(
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
                 shc = None
 
-        # eager host Adam on rows whose last use just passed (cpuadam_thread);
-        # --stop_update_param skips all updates (engine.py:863-875 forbids the
-        # combination with the overlapped CPUAdam — here it just idles it)
-        rows = finish_sets[pos]
-        if pos == 0 and not sparse_adam and len(never_visible):
-            rows = np.concatenate([never_visible, rows])
-        if len(rows) and not cfg.debug.stop_update_param:
-            futures.append(
-                ctx.executor.submit(
-                    ctx.adam.sparse_step, ctx.sh_host, ctx.sh_grad_host, rows,
-                    grad_scale, step,
-                )
-            )
+        # start the async D2H of this camera's outgoing grads, then drain the
+        # PREVIOUS one (whose transfer completed during this micro-step)
+        try:
+            new_pending[0].copy_to_host_async()
+        except Exception:
+            pass
+        if pending is not None:
+            tm.start("clm.d2h_scatter")
+            _drain_pending(ctx, pending, futures, grad_scale, step, stop_update)
+            tm.stop("clm.d2h_scatter")
+        pending = new_pending
 
     # 5. device Adam for the 4 HBM groups
     grads = GaussianParams(
@@ -341,7 +408,7 @@ def train_one_batch(
         sh=jnp.zeros_like(p.sh),
     )
     gpu_lrs = {k: lrs[k] for k in ("xyz", "opacity", "log_scale", "quat")}
-    if cfg.debug.stop_update_param:
+    if stop_update:
         new_params, new_opt = p, opt_state
     else:
         update_mask = (state.alive & vis_any) if sparse_adam else state.alive
@@ -349,9 +416,18 @@ def train_one_batch(
             p, grads, opt_state, gpu_lrs, adam_cfg, update_mask
         )
 
-    # 6. join host workers (engine.py:898)
+    # 6. drain the final flush + join host workers (engine.py:898), measuring
+    # the trailing overhead — how long the device sits idle waiting for the
+    # host side after its own work is done (the reference's CPU-Adam
+    # trailing-overhead meter, engine.py:888-917).
+    timer.drain(losses[-1])
+    t_dev_done = time.perf_counter()
+    if pending is not None:
+        _drain_pending(ctx, pending, futures, grad_scale, step, stop_update)
     for f in futures:
         f.result()
+    ctx.trailing_s += time.perf_counter() - t_dev_done
+    ctx.n_batches += 1
 
     new_state = GaussianState(
         params=new_params, alive=state.alive, n_alive=state.n_alive,

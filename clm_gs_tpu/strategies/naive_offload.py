@@ -124,20 +124,26 @@ def _batch_grads(
 
 def train_one_batch(
     state, opt_state, ctx: NaiveContext, cams, gt, sh_degree,
-    lrs, adam_cfg, background, width, height, isect_cap, cfg,
+    lrs, adam_cfg, background, width, height, isect_cap, cfg, timers=None,
 ):
+    from clm_gs_tpu.utils.timer import Timer
+
+    tm = timers if timers is not None else Timer(enabled=False)
     bsz = gt.shape[0]
     C = state.capacity
+    tm.start("naive.grads")
     grads, stats, vis_any, max_isects, losses = _batch_grads(
         state, cams, jnp.asarray(gt), sh_degree, background, width, height,
         isect_cap, accumulate_stats=not cfg.opt.disable_auto_densification,
         lambda_dssim=cfg.opt.lambda_dssim,
         loss_scale=cfg.opt.lr_scale_loss,
     )
+    tm.stop("naive.grads", sync=losses)
     if cfg.debug.stop_update_param:  # debug: skip all updates (engine.py:331)
         return state, opt_state, ctx, StepOut(losses, max_isects, vis_any)
 
     # bulk D2H of grads + host Adam over each group
+    tm.start("naive.d2h_adam")
     alive_np = np.asarray(state.alive)
     if cfg.aux.sparse_adam:
         upd_idx = np.nonzero(np.asarray(vis_any) & alive_np)[0].astype(np.int32)
@@ -156,6 +162,7 @@ def train_one_batch(
             ctx.params_host[name], gnp, upd_idx, grad_scale=1.0 / bsz,
             step=adam.step_count,
         )
+    tm.stop("naive.d2h_adam")
 
     # bulk H2D: refresh the device copy
     new_params = GaussianParams(

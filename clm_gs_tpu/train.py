@@ -209,9 +209,11 @@ def training(cfg: Config):
             "sh": sh_column_lr(cfg.opt.feature_lr) * lr_scale,
         }
 
+        timers.start("data_next")
         cams, gt = dataset.next_batch()
         cb = stack_cameras(cams)
         gt = jnp.asarray(gt)
+        timers.stop("data_next")
         if cfg.opt.random_background:
             rng, sub = jax.random.split(rng)
             background = jax.random.uniform(sub, (3,), jnp.float32)
@@ -248,7 +250,7 @@ def training(cfg: Config):
         else:
             state, opt_state, strategy_ctx, out = strategy.train_one_batch(
                 state, opt_state, strategy_ctx, cb, gt, sh_degree, lrs, adam_cfg,
-                background, W, H, isect_cap, cfg,
+                background, W, H, isect_cap, cfg, timers=timers,
             )
         timers.stop("train_step", sync=out.losses)
 
@@ -259,6 +261,16 @@ def training(cfg: Config):
                 f"iteration[{iteration},{iteration+bsz}) loss: {loss:.6f} "
                 f"ema: {ema_loss:.6f} n3dgs: {int(state.n_alive)}\n"
             )
+            if strategy_name == "clm_offload" and strategy_ctx.n_batches:
+                nb = strategy_ctx.n_batches
+                trail = strategy_ctx.trailing_s / nb
+                work = strategy_ctx.host_work_s / nb
+                hidden = max(0.0, 1.0 - trail / work) if work > 0 else 1.0
+                logger.write(
+                    f"clm overlap: host work {work*1e3:.1f} ms/batch, "
+                    f"trailing {trail*1e3:.1f} ms/batch, "
+                    f"comm-hidden {hidden*100:.0f}%\n"
+                )
 
         # adaptive isect capacity (bucketed growth, recompile on change).
         # Keep the margin tight: binning/gather/kernel grids all scale with the
@@ -274,8 +286,10 @@ def training(cfg: Config):
             for ti in cfg.aux.test_iterations
         ) if cfg.aux.test_iterations else False:
             e2e.pause(sync=out.losses)
+            timers.start("eval")
             training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
                             isect_cap, iteration, logger)
+            timers.stop("eval")
             e2e.start()
 
         # ---- densification ----
@@ -307,6 +321,7 @@ def training(cfg: Config):
                         )
                 rng, sub = jax.random.split(rng)
                 size_prune = iteration > cfg.opt.opacity_reset_interval
+                timers.start("densify")
                 state, opt_state, info = Dn.densify_and_prune(
                     state, opt_state, sub, cfg.opt.densify_grad_threshold,
                     cfg.opt.min_opacity, spatial, cfg.opt.percent_dense,
@@ -315,6 +330,7 @@ def training(cfg: Config):
                 )
                 if strategy_ctx is not None:
                     strategy_ctx = strategy.post_densify(strategy_ctx, state, info)
+                timers.stop("densify", sync=state.params.xyz)
                 logger.densify_report(
                     iteration, iteration + bsz, int(info.n_alive), _hbm_gb(),
                     _host_gb(),

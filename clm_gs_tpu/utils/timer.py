@@ -15,6 +15,23 @@ from typing import Optional
 import jax
 
 
+def drain(x) -> None:
+    """Actually wait for device work producing `x`. On the axon-tunneled TPU
+    jax.block_until_ready returns before the remote queue drains, so timings
+    bracketed with it alone are fiction — pulling one scalar element forces a
+    real round-trip."""
+    if x is None:
+        return
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ndim"):
+            try:
+                float(leaf.reshape(-1)[0])
+            except Exception:
+                jax.block_until_ready(leaf)
+            return
+    jax.block_until_ready(x)
+
+
 class Timer:
     def __init__(self, enabled: bool = False):
         self.enabled = enabled
@@ -26,14 +43,14 @@ class Timer:
         if not self.enabled:
             return
         if sync is not None:
-            jax.block_until_ready(sync)
+            drain(sync)
         self._open[key] = time.perf_counter()
 
     def stop(self, key: str, sync=None):
         if not self.enabled or key not in self._open:
             return
         if sync is not None:
-            jax.block_until_ready(sync)
+            drain(sync)
         dt = time.perf_counter() - self._open.pop(key)
         self.sums[key] += dt
         self.counts[key] += 1
