@@ -135,3 +135,31 @@ def eval_one_cam(
         sh_degree, width, height, background, isect_cap,
     )
     return out.image, out.n_isects
+
+
+@partial(jax.jit, static_argnames=("width", "height", "isect_cap"))
+def eval_batch(
+    state: GaussianState, cb, gts, sh_degree, background,
+    width: int, height: int, isect_cap: int,
+):
+    """Render + L1/PSNR for a whole padded batch of eval cameras in one
+    dispatch (the reference evaluates one camera per host round-trip,
+    train.py:718-737 — batching removes the per-image sync). Returns
+    (l1s (E,), psnrs (E,)); the caller masks padded entries."""
+
+    def one(_, cam):
+        vm, Kmat, c2w, gt = cam
+        out = render_one_cam(
+            state.params, state.alive, vm, Kmat, c2w[:3, 3], sh_degree,
+            width, height, background, isect_cap,
+        )
+        l1 = jnp.mean(jnp.abs(out.image - gt))
+        img = jnp.clip(out.image, 0.0, 1.0)
+        mse = jnp.mean((img - gt) ** 2)
+        ps = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return _, (l1, ps)
+
+    _, (l1s, pss) = jax.lax.scan(
+        one, 0, (cb.viewmats, cb.Ks, cb.camtoworlds, gts)
+    )
+    return l1s, pss

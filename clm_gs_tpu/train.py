@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clm_gs_tpu.config import Config, parse_config, save_config
-from clm_gs_tpu.data.cameras import stack_cameras
+from clm_gs_tpu.data.cameras import CameraBatch, stack_cameras
 from clm_gs_tpu.data.dataset import iterate_eval
 from clm_gs_tpu.models import densify as Dn
 from clm_gs_tpu.models import gaussians as G
@@ -411,11 +411,37 @@ def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
         ("test", scene.test_cameras[: cfg.opt.max_num_images_to_evaluate]),
         ("train", scene.train_cameras[:n_eval_train]),
     ]
+    eval_bsz = 8
+    batch_fn = getattr(strategy, "eval_batch", None)
     for name, cams in configs:
         if not cams:
             continue
         l1s, psnrs = [], []
         saved = 0
+        pend_vm, pend_K, pend_c2w, pend_gt = [], [], [], []
+
+        def flush():
+            """One device dispatch for up to eval_bsz cameras (the reference
+            evaluates one camera per host round-trip, train.py:718-737)."""
+            n = len(pend_vm)
+            if not n:
+                return
+            pad = eval_bsz - n
+            cb_b = CameraBatch(
+                viewmats=jnp.stack(pend_vm + [pend_vm[-1]] * pad),
+                Ks=jnp.stack(pend_K + [pend_K[-1]] * pad),
+                camtoworlds=jnp.stack(pend_c2w + [pend_c2w[-1]] * pad),
+                width=We, height=He,
+            )
+            gts_b = jnp.stack(pend_gt + [pend_gt[-1]] * pad)
+            bl1, bps = batch_fn(
+                eval_state, cb_b, gts_b, sh_degree, background,
+                We, He, isect_cap,
+            )
+            l1s.extend(np.asarray(bl1[:n]).tolist())
+            psnrs.extend(np.asarray(bps[:n]).tolist())
+            del pend_vm[:], pend_K[:], pend_c2w[:], pend_gt[:]
+
         for cam, gt in iterate_eval(cams, cfg.aux.decode_dataset_path, W, H):
             cb = stack_cameras([cam])
             Ke, We, He = cb.Ks[0], W, H
@@ -429,15 +455,24 @@ def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
                     ),
                     axis=(2, 4),
                 )
-            img, _ = strategy.eval_one_cam(
-                eval_state, cb.viewmats[0], Ke, cb.camtoworlds[0], sh_degree,
-                background, We, He, isect_cap,
-            )
-            l1s.append(float(jnp.mean(jnp.abs(img - gtj))))
-            psnrs.append(float(psnr_fn(jnp.clip(img, 0, 1), gtj)))
-            if saved < cfg.aux.num_save_images_during_eval:
-                _save_eval_image(cfg, iteration, name, cam, img, gtj)
-                saved += 1
+            if saved < cfg.aux.num_save_images_during_eval or batch_fn is None:
+                img, _ = strategy.eval_one_cam(
+                    eval_state, cb.viewmats[0], Ke, cb.camtoworlds[0],
+                    sh_degree, background, We, He, isect_cap,
+                )
+                l1s.append(float(jnp.mean(jnp.abs(img - gtj))))
+                psnrs.append(float(psnr_fn(jnp.clip(img, 0, 1), gtj)))
+                if saved < cfg.aux.num_save_images_during_eval:
+                    _save_eval_image(cfg, iteration, name, cam, img, gtj)
+                    saved += 1
+            else:
+                pend_vm.append(cb.viewmats[0])
+                pend_K.append(Ke)
+                pend_c2w.append(cb.camtoworlds[0])
+                pend_gt.append(gtj)
+                if len(pend_vm) == eval_bsz:
+                    flush()
+        flush()
         logger.eval_result(
             iteration, name, float(np.mean(l1s)), float(np.mean(psnrs))
         )

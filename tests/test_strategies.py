@@ -159,3 +159,26 @@ class TestRetention:
                 np.asarray(getattr(s_full.params, name)),
                 rtol=1e-5, atol=1e-6, err_msg=name,
             )
+
+
+class TestEvalBatch:
+    def test_eval_batch_matches_eval_one_cam(self):
+        """Batched eval (one dispatch per batch) must agree with the
+        per-camera path it replaces (reference evaluates sequentially,
+        train.py:718-737)."""
+        state, cb = _scene(seed=3)
+        gts = _render_gts(state, cb)
+        l1s, pss = no_offload.eval_batch(
+            state, cb, gts, 3, BG, W, H, ISECT_CAP
+        )
+        for i in range(gts.shape[0]):
+            img, _ = no_offload.eval_one_cam(
+                state, cb.viewmats[i], cb.Ks[i], cb.camtoworlds[i], 3, BG,
+                W, H, ISECT_CAP,
+            )
+            l1 = float(jnp.mean(jnp.abs(img - gts[i])))
+            imgc = jnp.clip(img, 0.0, 1.0)
+            ps = float(-10.0 * jnp.log10(
+                jnp.maximum(jnp.mean((imgc - gts[i]) ** 2), 1e-12)))
+            np.testing.assert_allclose(float(l1s[i]), l1, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(float(pss[i]), ps, rtol=1e-4, atol=1e-4)
