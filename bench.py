@@ -1,66 +1,170 @@
-"""Headline benchmark: fwd+bwd rasterization throughput (Mpix/s) on one chip.
+"""Headline benchmark: fwd+bwd training throughput (Mpix/s) on one chip, plus
+the reference's headline strategy matrix (throughput / device HBM peak / host
+memory per strategy — reference README.md:70-74 reports peak GPU memory and
+end-to-end time for no_offload / naive_offload / clm_offload).
 
-Runs the full differentiable training-step path (projection -> SH -> binning ->
-Pallas compositing -> loss -> hand-derived backward -> Adam) of the no_offload
-strategy on a synthetic scene, and reports Mpix/s of training throughput.
+Each strategy runs in its own subprocess so device memory peaks are isolated;
+the parent prints ONE JSON line whose headline metric is no_offload training
+throughput:
+
+  {"metric", "value", "unit", "vs_baseline", "strategies": {...}}
 
 Baseline: the reference trains Mip-360 bicycle (images_4, ~1.0 Mpix cameras)
 at 30000 iterations / 734 s = 40.87 cameras/s on an RTX 4090 (BASELINE.md,
 README.md:70-74) => ~40.2 Mpix/s fwd+bwd+step. vs_baseline = ours / that.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+CHILD_TIMEOUT_S = 1500
 
 
-def main():
+def _mem_stats():
+    """(hbm_peak_gb, hbm_limit_gb) or (None, None) when unavailable."""
     import jax
-    import jax.numpy as jnp
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        limit = stats.get("bytes_limit")
+        return (
+            round(peak / 2**30, 3) if peak else None,
+            round(limit / 2**30, 3) if limit else None,
+        )
+    except Exception:
+        return None, None
+
+
+def _host_peak_gb():
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 3)
+
+
+def run_child(strategy: str):
+    import jax
+    import jax.numpy as jnp  # noqa: F401
 
     sys.path.insert(0, "/root/repo")
-    from clm_gs_tpu.strategies import no_offload
+    from clm_gs_tpu.config import Config, init_config
+    from clm_gs_tpu.optim import AdamConfig, init_adam
+    from clm_gs_tpu.strategies import clm_offload, naive_offload, no_offload
     from clm_gs_tpu.utils.bench_scene import BSZ, H, ISECT_CAP, W, make_scene
 
-    state, opt, cb, gts, lrs, cfg, bg = make_scene()
+    state, opt, cb, gts, lrs, adam_cfg, bg = make_scene()
+    n_gauss = int(state.n_alive)
 
-    def step(state, opt):
-        return no_offload.train_step(
-            state, opt, cb, gts, 3, lrs, cfg, bg, W, H, ISECT_CAP,
-            accumulate_stats=False,
-        )
+    cfg = Config()
+    setattr(cfg.aux, strategy, True)
+    cfg.opt.bsz = BSZ
+    cfg.opt.lr_scale_mode = "accumu"
+    init_config(cfg)
 
-    def drain(s, o, out):
-        # On remote-tunneled devices block_until_ready can return before the
-        # queue drains; fetching values is the only reliable sync.
-        return float(out.losses.sum()) + float(s.params.opacity[0]) + float(
-            o.mu.xyz[0, 0]
-        )
+    def drain(*leaves):
+        return sum(float(x.reshape(-1)[0]) for x in leaves)
 
-    # warmup / compile
-    s, o, out = step(state, opt)
-    drain(s, o, out)
+    if strategy == "no_offload":
+        def one_batch(s, o, _ctx):
+            s, o, out = no_offload.train_step(
+                s, o, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP,
+                accumulate_stats=False,
+            )
+            return s, o, _ctx, out
+
+        ctx = None
+    elif strategy == "naive_offload":
+        ctx = naive_offload.make_context(cfg, state, adam_cfg)
+
+        def one_batch(s, o, c):
+            s, _, c, out = naive_offload.train_one_batch(
+                s, None, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP, cfg
+            )
+            return s, o, c, out
+    else:
+        ctx = clm_offload.make_context(cfg, state, adam_cfg)
+        state = clm_offload.strip_device_sh(state)
+        opt = init_adam(state.params)
+
+        def one_batch(s, o, c):
+            s, o, c, out = clm_offload.train_one_batch(
+                s, o, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP, cfg
+            )
+            return s, o, c, out
+
+    # warmup: compile + (for offload strategies) first full SH fetch
+    state, opt, ctx, out = one_batch(state, opt, ctx)
+    drain(out.losses, state.params.xyz)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        s, o, out = step(s, o)
-    drain(s, o, out)
+        state, opt, ctx, out = one_batch(state, opt, ctx)
+    drain(out.losses, state.params.xyz)
     dt = time.perf_counter() - t0
 
-    mpix_s = iters * BSZ * W * H / dt / 1e6
+    hbm_peak, hbm_limit = _mem_stats()
+    rec = {
+        "strategy": strategy,
+        "mpix_s": round(iters * BSZ * W * H / dt / 1e6, 3),
+        "sec_per_batch": round(dt / iters, 3),
+        "hbm_peak_gb": hbm_peak,
+        "hbm_limit_gb": hbm_limit,
+        "host_peak_gb": _host_peak_gb(),
+        "n_gaussians": n_gauss,
+    }
+    if hbm_peak and hbm_limit and strategy == "clm_offload":
+        # linear estimate: device bytes/gaussian at this N scaled to the chip
+        rec["max_gaussians_per_chip_est"] = int(
+            n_gauss * hbm_limit / hbm_peak
+        )
+    print("BENCH_CHILD " + json.dumps(rec), flush=True)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        run_child(sys.argv[2])
+        return
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    results = {}
+    # headline strategy first so its result survives later failures/timeouts
+    for strategy in ("no_offload", "naive_offload", "clm_offload"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", strategy],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S, env=env,
+            )
+            rec = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_CHILD "):
+                    rec = json.loads(line[len("BENCH_CHILD "):])
+            if rec is None:
+                tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+                rec = {"error": " | ".join(tail)[-300:]}
+            results[strategy] = rec
+        except subprocess.TimeoutExpired:
+            results[strategy] = {"error": f"timeout {CHILD_TIMEOUT_S}s"}
+
+    import numpy as np  # noqa: F401  (keep import parity with children)
+    from clm_gs_tpu.utils.bench_scene import H, W
+
+    headline = results.get("no_offload", {}).get("mpix_s")
     baseline_mpix_s = 30000 / 734.0 * (W * H / 1e6)  # 4090 bicycle no_offload
     print(
         json.dumps(
             {
                 "metric": "train_throughput_fwd_bwd",
-                "value": round(mpix_s, 3),
+                "value": headline if headline is not None else 0.0,
                 "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_s / baseline_mpix_s, 4),
+                "vs_baseline": round(headline / baseline_mpix_s, 4)
+                if headline
+                else 0.0,
+                "strategies": results,
             }
         )
     )

@@ -56,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned
+from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned, tight_extents
 
 TILE = 16
 P = TILE * TILE  # 256 pixels per tile
@@ -66,8 +66,10 @@ ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
 MAX_ALPHA = 0.999
 
-# attrs column layout in the packed (N, 16) table
+# attrs column layout in the packed table; NGC live columns, zero-padded to
+# ATTR_ROWS rows in the (ATTR_ROWS, K) kernel blocks
 _MX, _MY, _CA, _CB, _CC, _OP, _R, _G, _B = range(9)
+NGC = 9
 ATTR_ROWS = 16
 
 
@@ -302,12 +304,14 @@ def _chunk_plan(counts, starts, num_tiles: int, chunk_cap: int, n_blocks: int):
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _gather_attrs(table, aligned, slot_cap):
-    """attrs_rows = table[ids] with padding zeroed. The custom backward avoids
-    XLA's scatter-add (~550 ms at 5M rows on v5e — TPU scatters are effectively
-    serial): instances of one gaussian are contiguous in pre-sort slot order,
-    so per-gaussian gradient sums are an inverse-permutation row gather + one
-    cumulative sum + segment-boundary differences — all sort/gather/cumsum ops
-    TPUs run at bandwidth."""
+    """attrs_rows = table[ids] with padding zeroed; table has the NGC=9 live
+    columns only (zero-padding to the 16-row kernel block happens at block
+    build — keeping dead columns off the multi-million-row gather). The custom
+    backward avoids XLA's scatter-add (~550 ms at 5M rows on v5e — TPU
+    scatters are effectively serial): instances of one gaussian are contiguous
+    in pre-sort slot order, so per-gaussian gradient sums are an
+    inverse-permutation row gather + one cumulative sum + segment-boundary
+    differences — all sort/gather/cumsum ops TPUs run at bandwidth."""
     ids = aligned.ids
     valid = (ids >= 0)[:, None]
     return jnp.where(valid, table[jnp.maximum(ids, 0)], 0.0)
@@ -319,12 +323,10 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
 
 def _gather_attrs_bwd(slot_cap, res, v_rows):
     aligned, n = res
-    # The bwd kernel only ever writes the first 9 gradient columns (the rest of
-    # the packed table is zero padding), so the reduction runs on 9 columns and
-    # pads the rest back at the end. Un-permute v into gaussian-major slot
-    # order by carrying those columns as sort payloads (cheaper than an
-    # inverse-perm sort followed by a row gather).
-    ngc = 9  # _MX.._B
+    # Un-permute v into gaussian-major slot order by carrying the columns as
+    # sort payloads (cheaper than an inverse-perm sort followed by a row
+    # gather).
+    ngc = NGC
     ops = (aligned.src_of,) + tuple(v_rows[:, j] for j in range(ngc))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     slot_v = jnp.stack(sorted_ops[1:], axis=1)[:slot_cap]
@@ -348,13 +350,7 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
         (aligned.order,) + tuple(seg[:, j] for j in range(ngc)),
         num_keys=1, is_stable=True,
     )
-    v_table = jnp.concatenate(
-        [
-            jnp.stack(unsorted[1:], axis=1),
-            jnp.zeros((n, ATTR_ROWS - ngc), jnp.float32),
-        ],
-        axis=1,
-    )
+    v_table = jnp.stack(unsorted[1:], axis=1)
     f0 = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), aligned
     )
@@ -364,11 +360,13 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
 _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
 
 def _attrs_blocks(attrs_rows):
+    """(cap_t, NGC) gathered rows -> (n_blocks+1, ATTR_ROWS, K) kernel blocks
+    (zero-pads the dead rows and appends the trash block)."""
     cap_t = attrs_rows.shape[0]
+    blocks = jnp.transpose(attrs_rows.reshape(cap_t // K, K, NGC), (0, 2, 1))
     return jnp.concatenate(
         [
-            jnp.transpose(attrs_rows.reshape(cap_t // K, K, ATTR_ROWS), (0, 2, 1)),
-            jnp.zeros((1, ATTR_ROWS, K), jnp.float32),  # trash block
+            jnp.pad(blocks, ((0, 1), (0, ATTR_ROWS - NGC), (0, 0))),
         ],
         axis=0,
     )
@@ -463,7 +461,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
         ),
         interpret=_interpret_mode(),
     )(ct, cloc, cslot, cnv, clast, attrs_b, out, v_out)
-    v_attrs = jnp.transpose(grads_b[:-1], (0, 2, 1)).reshape(cap_t, ATTR_ROWS)
+    v_attrs = jnp.transpose(grads_b[:-1, :NGC], (0, 2, 1)).reshape(cap_t, NGC)
     # background cotangent: sum_p T_final[p] * v_rgb[:, p]; mask empty tiles
     # (their fwd rows were never written and may hold garbage/NaN)
     nonempty = (counts > 0)[:, None]
@@ -506,24 +504,28 @@ def rasterize(
     cap_round = -(-isect_cap // K) * K
     cap_padded = cap_round + ALIGN * num_tiles
     chunk_cap = cap_round // K + num_tiles + 1
+    # opacity-aware tight per-axis bboxes: ~20% fewer instances than the
+    # circle bbox with bit-identical output (see tight_extents)
+    ext = tight_extents(
+        jax.lax.stop_gradient(conics),
+        jax.lax.stop_gradient(opacities),
+        jax.lax.stop_gradient(radii),
+    )
     aligned = isect_tiles_aligned(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(radii),
         jax.lax.stop_gradient(depths),
         TILE, tw, th, cap_round, ALIGN,
+        extents=ext,
     )
     starts, counts, n_isects = aligned.starts, aligned.counts, aligned.n_isects
 
-    # ONE row-gather of a packed (N, 16) attribute table instead of 9 scalar
+    # ONE row-gather of a packed (N, 9) attribute table instead of 9 scalar
     # gathers — random-access count, not payload bytes, dominates TPU gather
     # cost. Its custom VJP reduces per-gaussian grads without XLA scatters.
     table = jnp.concatenate(
-        [
-            means2d, conics, opacities[:, None], colors,
-            jnp.zeros((means2d.shape[0], ATTR_ROWS - 9), jnp.float32),
-        ],
-        axis=1,
-    )  # (N, 16)
+        [means2d, conics, opacities[:, None], colors], axis=1
+    )  # (N, NGC)
     attrs_rows = _gather_attrs(table, aligned, cap_round)  # (cap_padded, 16)
 
     plan = _chunk_plan(counts, starts, num_tiles, chunk_cap, cap_padded // K + 1)

@@ -3,11 +3,14 @@
 Replaces both the reference's unfused windowed SSIM (utils/loss_utils.py:26-85)
 and the clm_kernels.fused_ssim CUDA kernel (strategies/base_engine.py:93). Same
 math: 11x11 Gaussian window (sigma 1.5), per-channel depthwise convolution with
-same-padding, C1=0.01^2, C2=0.03^2, mean over all pixels.
+same-padding (zero padding), C1=0.01^2, C2=0.03^2, mean over all pixels.
 
-On TPU the Gaussian window is separable, so we run two 1-D depthwise
-convolutions; XLA fuses the remaining elementwise chain — this is effectively
-the "fused" SSIM without a hand-written kernel.
+TPU note: a depthwise conv with C=3 maps terribly onto XLA:TPU (3 channels
+cannot fill the 8-sublane x 128-lane registers; measured 44 ms fwd+bwd at
+1 Mpix). The window is separable, so each 1-D blur is instead an unrolled
+11-tap weighted sum of shifted slices — pure VPU adds that XLA fuses into a
+couple of bandwidth-bound passes — and all five blurred maps (img, gt, img^2,
+gt^2, img*gt) ride one stacked call so the tap slices are shared.
 """
 
 from __future__ import annotations
@@ -18,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+WINDOW_SIZE = 11
+SIGMA = 1.5
+
 
 def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size, dtype=np.float64) - window_size // 2
@@ -25,39 +31,41 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("window_size",))
-def ssim(img, gt, window_size: int = 11):
-    """img, gt: (3, H, W) in [0,1]. Returns scalar mean SSIM."""
-    w1d = jnp.asarray(_gaussian_window(window_size, 1.5))
+def _blur_sep(x, window_size: int):
+    """Separable Gaussian blur of (C, H, W) with zero ('same') padding,
+    written as unrolled shifted-slice sums (no conv op)."""
+    w = _gaussian_window(window_size, SIGMA)
+    half = window_size // 2
+    _, H, W = x.shape
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
+    x = sum(float(w[k]) * xp[:, k : k + H, :] for k in range(window_size))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (half, half)))
+    return sum(float(w[k]) * xp[:, :, k : k + W] for k in range(window_size))
 
-    def blur(x):
-        # separable depthwise conv with same padding, feature_group_count=C
-        c = x.shape[0]
-        kh = jnp.tile(w1d.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
-        kw = jnp.tile(w1d.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
-        y = jax.lax.conv_general_dilated(
-            x[None], kh, (1, 1), [(window_size // 2,) * 2, (0, 0)],
-            feature_group_count=c,
-        )
-        y = jax.lax.conv_general_dilated(
-            y, kw, (1, 1), [(0, 0), (window_size // 2,) * 2],
-            feature_group_count=c,
-        )
-        return y[0]
 
-    mu1 = blur(img)
-    mu2 = blur(gt)
+def _ssim_map(img, gt, window_size: int):
+    stacked = jnp.concatenate(
+        [img, gt, img * img, gt * gt, img * gt], axis=0
+    )
+    c = img.shape[0]
+    b = _blur_sep(stacked, window_size)
+    mu1, mu2 = b[0:c], b[c : 2 * c]
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = blur(img * img) - mu1_sq
-    sigma2_sq = blur(gt * gt) - mu2_sq
-    sigma12 = blur(img * gt) - mu1_mu2
+    sigma1_sq = b[2 * c : 3 * c] - mu1_sq
+    sigma2_sq = b[3 * c : 4 * c] - mu2_sq
+    sigma12 = b[4 * c : 5 * c] - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img, gt, window_size: int = WINDOW_SIZE):
+    """img, gt: (3, H, W) in [0,1]. Returns scalar mean SSIM."""
+    return jnp.mean(_ssim_map(img, gt, window_size))
 
 
 def l1_loss(img, gt):
@@ -82,31 +90,8 @@ def l1_loss_pixelwise_masked(img, gt, mask):
 
 
 @partial(jax.jit, static_argnames=("window_size",))
-def ssim_masked(img, gt, mask, window_size: int = 11):
+def ssim_masked(img, gt, mask, window_size: int = WINDOW_SIZE):
     """Masked SSIM (loss_utils.py:108-132): mean of the SSIM map over masked
     pixels only."""
-    w1d = jnp.asarray(_gaussian_window(window_size, 1.5))
-
-    def blur(x):
-        c = x.shape[0]
-        kh = jnp.tile(w1d.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
-        kw = jnp.tile(w1d.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
-        y = jax.lax.conv_general_dilated(
-            x[None], kh, (1, 1), [(window_size // 2,) * 2, (0, 0)],
-            feature_group_count=c,
-        )
-        y = jax.lax.conv_general_dilated(
-            y, kw, (1, 1), [(0, 0), (window_size // 2,) * 2],
-            feature_group_count=c,
-        )
-        return y[0]
-
-    mu1, mu2 = blur(img), blur(gt)
-    s1 = blur(img * img) - mu1 * mu1
-    s2 = blur(gt * gt) - mu2 * mu2
-    s12 = blur(img * gt) - mu1 * mu2
-    c1, c2 = 0.01**2, 0.03**2
-    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
-        (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2)
-    )
+    m = _ssim_map(img, gt, window_size)
     return jnp.sum(m * mask) / jnp.maximum(jnp.sum(mask) * img.shape[0], 1.0)

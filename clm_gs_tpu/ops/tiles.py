@@ -101,19 +101,45 @@ def _forward_fill(channels, block: int = 1024):
     return tuple(c.reshape(n) for c in out)
 
 
-def tile_bbox(means2d, radii, tile_size, tile_width, tile_height):
-    """Per-gaussian inclusive-exclusive tile bounds ([x0,x1) x [y0,y1))."""
-    r = radii
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_size), 0, tile_width)
-    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / tile_size), 0, tile_width)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_size), 0, tile_height)
-    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / tile_size), 0, tile_height)
+def tile_bbox(means2d, rx, ry, tile_size, tile_width, tile_height):
+    """Per-gaussian inclusive-exclusive tile bounds ([x0,x1) x [y0,y1)) from
+    per-axis half-extents (pass rx == ry == radii for the gsplat circle
+    bbox)."""
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, tile_width)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tile_width)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, tile_height)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, tile_height)
     return (
         x0.astype(jnp.int32),
         x1.astype(jnp.int32),
         y0.astype(jnp.int32),
         y1.astype(jnp.int32),
     )
+
+
+def tight_extents(conics, opacities, radii):
+    """Opacity-aware per-axis bbox half-extents (pixels).
+
+    The support of a splat at the kernel's alpha threshold is the ellipse
+    sigma <= ln(255 * op); its axis-aligned bbox half-widths are
+    sqrt(2 ln(255 op) * Sigma_xx|yy) with Sigma = inv(conic). Capped at the
+    gsplat 3-sigma circle radius so coverage is exactly (circle bbox) ∩
+    (alpha >= 1/255 support) — every pixel the circle bbox would have
+    composited still renders bit-identically, while instance counts drop
+    ~20% (gsplat bins the full circle bbox, isect_tiles CUDA kernel).
+    Returns (rx, ry), zeroed where the gaussian is culled or can never
+    reach the alpha threshold.
+    """
+    t_sup = jnp.log(255.0 * jnp.maximum(opacities, 1e-12))
+    det_c = jnp.maximum(conics[:, 0] * conics[:, 2] - conics[:, 1] ** 2, 1e-12)
+    tt = 2.0 * jnp.maximum(t_sup, 0.0)
+    # +1px margin absorbs fp rounding in the sqrt/threshold comparison
+    rx_e = jnp.sqrt(tt * conics[:, 2] / det_c) + 1.0
+    ry_e = jnp.sqrt(tt * conics[:, 0] / det_c) + 1.0
+    valid = (radii > 0) & (t_sup > 0)
+    rx = jnp.where(valid, jnp.minimum(rx_e, radii), 0.0)
+    ry = jnp.where(valid, jnp.minimum(ry_e, radii), 0.0)
+    return rx, ry
 
 
 @partial(
@@ -127,6 +153,7 @@ def isect_tiles(
     tile_width: int,
     tile_height: int,
     isect_cap: int,
+    extents=None,
 ) -> IsectResults:
     """Bin one camera's projected Gaussians into 2D tiles.
 
@@ -134,6 +161,8 @@ def isect_tiles(
       means2d: (N, 2) screen positions. radii: (N,) with 0 = culled.
       depths: (N,) camera-space z.
       isect_cap: static instance capacity (padded).
+      extents: optional (rx, ry) per-axis bbox half-extents (tight_extents);
+        defaults to the gsplat circle bbox (radii, radii).
 
     Returns IsectResults; instances are grouped by tile (ascending), ordered by
     depth (ascending, stable) within each tile.
@@ -145,10 +174,12 @@ def isect_tiles(
     # per-gaussian tile geometry is computed pre-sort and carried as two sort
     # payloads — payload columns ride the sort at ~1 ms per M-operand, while
     # post-sort row gathers of means2d/radii cost ~10-20 ms each at 1M.
-    x0, x1, y0, y1 = tile_bbox(means2d, radii, tile_size, tile_width, tile_height)
+    rx, ry = extents if extents is not None else (radii, radii)
+    x0, x1, y0, y1 = tile_bbox(means2d, rx, ry, tile_size, tile_width, tile_height)
     geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)  # 9 bits each; tiles < 512/axis
-    cnt_pre = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
-    d_key = jnp.where(radii > 0, depths, jnp.inf)
+    valid_g = (radii > 0) & (rx > 0) & (ry > 0)
+    cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
+    d_key = jnp.where(valid_g, depths, jnp.inf)
     _, order, packed_geo, counts = jax.lax.sort(
         (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
         num_keys=1, is_stable=True,
@@ -206,6 +237,7 @@ def isect_tiles_aligned(
     tile_height: int,
     isect_cap: int,
     align: int,
+    extents=None,
 ):
     """Binning straight into the K-aligned per-tile layout the rasterizer
     consumes: instead of sorting into contiguous ranges and then permuting
@@ -220,10 +252,12 @@ def isect_tiles_aligned(
 
     # tile geometry computed pre-sort and carried as sort payloads (see
     # isect_tiles: payload columns beat post-sort row gathers on TPU)
-    x0, x1, y0, y1 = tile_bbox(means2d, radii, tile_size, tile_width, tile_height)
+    rx, ry = extents if extents is not None else (radii, radii)
+    x0, x1, y0, y1 = tile_bbox(means2d, rx, ry, tile_size, tile_width, tile_height)
     geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
-    cnt_pre = jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0)
-    d_key = jnp.where(radii > 0, depths, jnp.inf)
+    valid_g = (radii > 0) & (rx > 0) & (ry > 0)
+    cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
+    d_key = jnp.where(valid_g, depths, jnp.inf)
     _, order, packed_geo, counts_g = jax.lax.sort(
         (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
         num_keys=1, is_stable=True,
@@ -249,10 +283,31 @@ def isect_tiles_aligned(
     tile = jnp.where(valid, ty * tile_width + tx, num_tiles)
     orig = jnp.where(valid, orig_f, -1)
 
-    # per-tile counts (scatter-add into a cache-resident histogram), padded
-    # segment starts, and the dummy entries that round each tile up to align
-    counts_t = (
-        jnp.zeros(num_tiles + 1, jnp.int32).at[tile].add(1, mode="drop")[:num_tiles]
+    # Per-tile counts. The common path avoids a 2M+-element scatter-add
+    # (~18 ms at bench scale — XLA:TPU scatters are near-serial) by counting
+    # per-gaussian bbox coverage with an interval-indicator matmul on the MXU:
+    # counts2d[y, x] = sum_g U[g, y] * V[g, x] with U/V 0-1 row/col interval
+    # indicators — exact (integer-valued f32 accumulation, counts << 2^24).
+    # That equals the histogram of the expanded `tile` array only when no
+    # truncation happened; on overflow (n_isects > isect_cap, the adaptive
+    # cap-growth step) fall back to the exact histogram of materialized slots.
+    ycells = jnp.arange(tile_height, dtype=jnp.int32)[None, :]
+    xcells = jnp.arange(tile_width, dtype=jnp.int32)[None, :]
+    U = (
+        (ycells >= y0[:, None]) & (ycells < y1[:, None]) & valid_g[:, None]
+    ).astype(jnp.bfloat16)
+    V = ((xcells >= x0[:, None]) & (xcells < x1[:, None])).astype(jnp.bfloat16)
+    counts_mm = jax.lax.dot_general(
+        U, V, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(num_tiles).astype(jnp.int32)
+
+    def hist_counts(_):
+        return jnp.zeros(num_tiles + 1, jnp.int32).at[tile].add(
+            1, mode="drop"
+        )[:num_tiles]
+
+    counts_t = jax.lax.cond(
+        n_isects <= isect_cap, lambda _: counts_mm, hist_counts, operand=None
     )
     padded_t = -(-counts_t // align) * align
     starts = jnp.concatenate(

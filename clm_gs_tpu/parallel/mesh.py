@@ -55,11 +55,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_state(state, mesh: Mesh):
     """Place a GaussianState's (C, ...) arrays on the gauss axis."""
+    return shard_capacity_tree(state, mesh, state.capacity)
+
+
+def shard_capacity_tree(tree, mesh: Mesh, capacity: int):
+    """Place every (capacity, ...) leaf of a pytree on the gauss axis and
+    everything else replicated. Used both for initial placement and to
+    restore layouts after host-side capacity growth / densification
+    (jnp.pad and gather outputs otherwise land wherever XLA put them)."""
     gs = gauss_sharding(mesh)
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == state.capacity:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
             return jax.device_put(x, gs)
         return jax.device_put(x, replicated(mesh))
 
-    return jax.tree.map(place, state)
+    return jax.tree.map(place, tree)

@@ -330,6 +330,17 @@ def training(cfg: Config):
                 )
                 if strategy_ctx is not None:
                     strategy_ctx = strategy.post_densify(strategy_ctx, state, info)
+                if sharded_step is not None:
+                    # growth (jnp.pad) and densify gathers do not preserve the
+                    # gauss-axis layout — restore it before the next step
+                    from clm_gs_tpu.parallel.mesh import shard_capacity_tree
+
+                    state = shard_capacity_tree(
+                        state, sharded_step[0], state.capacity
+                    )
+                    opt_state = shard_capacity_tree(
+                        opt_state, sharded_step[0], state.capacity
+                    )
                 timers.stop("densify", sync=state.params.xyz)
                 logger.densify_report(
                     iteration, iteration + bsz, int(info.n_alive), _hbm_gb(),

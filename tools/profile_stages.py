@@ -25,7 +25,7 @@ from clm_gs_tpu.utils.bench_scene import (
 )
 
 
-def timeit(name, fn, *args, n=3):
+def timeit(name, fn, *args, n=10):
     out = fn(*args)
     first = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "ndim")]
     drain_scalar(first[0])
@@ -110,16 +110,21 @@ def main():
     cap_round = -(-ISECT_CAP // R.K) * R.K
 
     # ---- 4. binning ----
-    def binning(m, r, d):
-        return T.isect_tiles_aligned(m, r, d, 16, tw, th, cap_round, R.ALIGN)
+    ext_fn = jax.jit(T.tight_extents)
+    (ext, _) = timeit("tight_extents", ext_fn, conics, opac, radii)
 
-    (aligned, _) = timeit("binning(aligned)", binning, means2d, radii, depths)
+    def binning(m, r, d, rx, ry):
+        return T.isect_tiles_aligned(m, r, d, 16, tw, th, cap_round, R.ALIGN,
+                                     extents=(rx, ry))
+
+    (aligned, _) = timeit("binning(aligned)", jax.jit(binning), means2d, radii,
+                          depths, ext[0], ext[1])
+    print(f"  n_isects(tight)={int(aligned.n_isects)}", flush=True)
 
     # ---- 5. gather fwd / fwd+bwd ----
     table = jnp.concatenate(
         [means2d, conics, opac[:, None],
-         jnp.zeros((p.capacity, 3), jnp.float32),
-         jnp.zeros((p.capacity, R.ATTR_ROWS - 9), jnp.float32)], axis=1)
+         jnp.zeros((p.capacity, 3), jnp.float32)], axis=1)
 
     gath = jax.jit(lambda t, a: R._gather_attrs(t, a, cap_round))
     (attrs_rows, _) = timeit("gather_fwd", gath, table, aligned)
@@ -185,31 +190,83 @@ def main():
     grads = jax.tree.map(jnp.zeros_like, p)
     timeit("adam_step", ad, p, grads, opt)
 
-    # ---- 8. instance-count headroom: circle vs ellipse-tight rect bbox ----
-    det = conics[:, 0] * conics[:, 2] - conics[:, 1] ** 2
-    det = jnp.maximum(det, 1e-12)
-    sxx, syy = conics[:, 2] / det, conics[:, 0] / det
-    rx = 3.0 * jnp.sqrt(jnp.maximum(sxx, 0.0))
-    ry = 3.0 * jnp.sqrt(jnp.maximum(syy, 0.0))
+    # ---- 8. binning sub-stages (where do the ~70 ms go?) ----
+    from clm_gs_tpu.ops.tiles import _forward_fill, tile_bbox
 
-    def cnt(rx_, ry_):
-        x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx_) / 16), 0, tw)
-        x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx_) / 16), 0, tw)
-        y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry_) / 16), 0, th)
-        y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry_) / 16), 0, th)
-        return jnp.sum(jnp.where(radii > 0, (x1 - x0) * (y1 - y0), 0.0))
+    n = p.capacity
+    num_t = tw * th
 
-    n_circle = float(cnt(radii, radii))
-    n_rect = float(cnt(jnp.minimum(rx, radii), jnp.minimum(ry, radii)))
-    print(f"isects circle={n_circle:.0f} rect={n_rect:.0f} "
-          f"ratio={n_rect / max(n_circle, 1):.3f}", flush=True)
-    # opacity-aware radius: alpha < 1/255 cannot contribute
-    lim = 2.0 * jnp.log(jnp.maximum(opac, 1e-8) * 255.0)
-    shrink = jnp.sqrt(jnp.clip(lim, 0.0, 9.0) / 9.0)
-    n_op = float(cnt(jnp.minimum(rx, radii) * shrink,
-                     jnp.minimum(ry, radii) * shrink))
-    print(f"isects rect+opacity={n_op:.0f} ratio={n_op / max(n_circle, 1):.3f}",
-          flush=True)
+    @jax.jit
+    def depth_sort(m, r, d, rx, ry):
+        x0, x1, y0, y1 = tile_bbox(m, rx, ry, 16, tw, th)
+        geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
+        valid_g = (r > 0) & (rx > 0) & (ry > 0)
+        cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
+        d_key = jnp.where(valid_g, d, jnp.inf)
+        return jax.lax.sort(
+            (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
+            num_keys=1, is_stable=True,
+        )
+
+    (ds, _) = timeit("bin:depth_sort", depth_sort, means2d, radii, depths,
+                     ext[0], ext[1])
+    _, order_, geo_, cnt_ = ds
+
+    @jax.jit
+    def expand(order_, geo_, cnt_):
+        cum = jnp.cumsum(cnt_)
+        starts_g = cum - cnt_
+        dst = jnp.where(cnt_ > 0, starts_g, cap_round)
+
+        def scat(src):
+            return jnp.zeros(cap_round, jnp.int32).at[dst].set(src, mode="drop")
+
+        return _forward_fill((scat(geo_), scat(starts_g), scat(order_)))
+
+    (ff, _) = timeit("bin:scatter+fill", expand, order_, geo_, cnt_)
+
+    @jax.jit
+    def mk_tile(geo_f, starts_f, cnt_):
+        n_is = jnp.sum(cnt_)
+        slots = jnp.arange(cap_round, dtype=jnp.int32)
+        local = slots - starts_f
+        w_ = jnp.maximum(geo_f & 0x1FF, 1)
+        ty_ = ((geo_f >> 9) & 0x1FF) + local // w_
+        tx_ = (geo_f >> 18) + local % w_
+        return jnp.where(slots < n_is, ty_ * tw + tx_, num_t)
+
+    tile_arr = mk_tile(ff[0], ff[1], cnt_)
+    hist = jax.jit(
+        lambda t: jnp.zeros(num_t + 1, jnp.int32).at[t].add(1, mode="drop")
+    )
+    timeit("bin:histogram_scatter", hist, tile_arr)
+
+    @jax.jit
+    def hist_corners(m, rx, ry, r):
+        # alternative: per-gaussian 4-corner +-1 scatter + 2D cumsum
+        x0, x1, y0, y1 = tile_bbox(m, rx, ry, 16, tw, th)
+        valid = (r > 0) & (rx > 0) & (ry > 0)
+        one = jnp.where(valid, 1, 0)
+        g = jnp.zeros((th + 1) * (tw + 1), jnp.int32)
+        g = g.at[y0 * (tw + 1) + x0].add(one, mode="drop")
+        g = g.at[y0 * (tw + 1) + x1].add(-one, mode="drop")
+        g = g.at[y1 * (tw + 1) + x0].add(-one, mode="drop")
+        g = g.at[y1 * (tw + 1) + x1].add(one, mode="drop")
+        g = g.reshape(th + 1, tw + 1)
+        return jnp.cumsum(jnp.cumsum(g, axis=0), axis=1)[:th, :tw]
+
+    timeit("bin:hist_corners(alt)", hist_corners, means2d, ext[0], ext[1], radii)
+
+    dcap = R.ALIGN * num_t
+    keys = jnp.concatenate([tile_arr, jnp.full(dcap, num_t, jnp.int32)])
+    pay = jnp.concatenate(
+        [jnp.arange(cap_round, dtype=jnp.int32), jnp.full(dcap, -1, jnp.int32)]
+    )
+    src = jnp.arange(cap_round + dcap, dtype=jnp.int32)
+    fsort = jax.jit(
+        lambda k, p1, p2: jax.lax.sort((k, p1, p2), num_keys=1, is_stable=True)
+    )
+    timeit("bin:final_sort3", fsort, keys, pay, src)
 
 
 if __name__ == "__main__":
