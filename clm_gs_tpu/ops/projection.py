@@ -43,17 +43,62 @@ class ProjResults(NamedTuple):
 
 
 def quat_scale_to_covar(quats, scales):
-    """(N,4) unnormalized quats + (N,3) activated scales -> (N,3,3) covariance."""
+    """(N,4) unnormalized quats + (N,3) activated scales -> (N,3,3) covariance.
+
+    Reference formulation (tests/oracles). The hot path uses covar_cols: at
+    1M Gaussians XLA:TPU lowers these (N,3,3) batched matmuls to bf16
+    dot_generals plus ~100 ms/step of layout copies and conversions."""
     R = build_rotation(quats)  # (N, 3, 3)
     M = R * scales[..., None, :]
     return M @ jnp.swapaxes(M, -1, -2)
 
 
-def _project_one_cam(means, covars, viewmat, K, width, height, radius_clip, alive):
-    """Project all N Gaussians into one camera. All shapes static."""
+def _rot_cols(quats):
+    """Unnormalized quat columns -> the 9 rotation-matrix entries as (N,)
+    columns (build_rotation without the (N,3,3) stacks)."""
+    w, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    inv = jax.lax.rsqrt(w * w + x * x + y * y + z * z + 1e-24)
+    w, x, y, z = w * inv, x * inv, y * inv, z * inv
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def covar_cols(quats, scales):
+    """Upper-triangle world covariance as six (N,) columns — pure VPU column
+    arithmetic, no (N,3,3) intermediates (see quat_scale_to_covar note)."""
+    r = _rot_cols(quats)
+    s0 = scales[:, 0] * scales[:, 0]
+    s1 = scales[:, 1] * scales[:, 1]
+    s2 = scales[:, 2] * scales[:, 2]
+
+    def cv(i, j):
+        return (
+            r[3 * i] * r[3 * j] * s0
+            + r[3 * i + 1] * r[3 * j + 1] * s1
+            + r[3 * i + 2] * r[3 * j + 2] * s2
+        )
+
+    return cv(0, 0), cv(0, 1), cv(0, 2), cv(1, 1), cv(1, 2), cv(2, 2)
+
+
+def _project_one_cam(means, covar6, viewmat, K, width, height, radius_clip, alive):
+    """Project all N Gaussians into one camera. All shapes static. covar6 is
+    the (c00, c01, c02, c11, c12, c22) column tuple from covar_cols."""
     Rcw = viewmat[:3, :3]
     tcw = viewmat[:3, 3]
-    p_view = means @ Rcw.T + tcw  # (N, 3)
+    # p_view = means @ Rcw.T + tcw, written as column arithmetic (a (N,3) x
+    # (3,3) dot_general drags bf16 conversions + layout copies at 1M rows)
+    p_view = jnp.stack(
+        [
+            means[:, 0] * Rcw[i, 0] + means[:, 1] * Rcw[i, 1]
+            + means[:, 2] * Rcw[i, 2] + tcw[i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     z = p_view[:, 2]
     valid = alive & (z > NEAR_PLANE) & (z < FAR_PLANE)
     zs = jnp.where(z == 0, 1e-6, z)
@@ -71,15 +116,30 @@ def _project_one_cam(means, covars, viewmat, K, width, height, radius_clip, aliv
     tx = zs * jnp.clip(p_view[:, 0] * rz, -lim_x_neg, lim_x_pos)
     ty = zs * jnp.clip(p_view[:, 1] * rz, -lim_y_neg, lim_y_pos)
 
-    # cam-space covariance, then the 2x2 screen covariance via the clamped
-    # perspective Jacobian J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]].
-    covar_cam = jnp.einsum("ij,njk,lk->nil", Rcw, covars, Rcw)  # (N, 3, 3)
+    # cam-space covariance C_cam = R C R^T, then the 2x2 screen covariance via
+    # the clamped perspective Jacobian J = [[fx/z, 0, -fx tx/z^2],
+    # [0, fy/z, -fy ty/z^2]]. All column arithmetic: R entries are per-camera
+    # scalars, C_world arrives as six (N,) upper-triangle columns.
+    w00, w01, w02, w11, w12, w22 = covar6
+    Cw = ((w00, w01, w02), (w01, w11, w12), (w02, w12, w22))
+    # t[i][a] = (R C)[i, a]
+    t = [
+        [
+            Rcw[i, 0] * Cw[0][a] + Rcw[i, 1] * Cw[1][a] + Rcw[i, 2] * Cw[2][a]
+            for a in range(3)
+        ]
+        for i in range(3)
+    ]
+
+    def _cam(i, j):
+        return t[i][0] * Rcw[j, 0] + t[i][1] * Rcw[j, 1] + t[i][2] * Rcw[j, 2]
+
     j00 = fx * rz
     j02 = -fx * tx * rz2
     j11 = fy * rz
     j12 = -fy * ty * rz2
-    c00, c01, c02 = covar_cam[:, 0, 0], covar_cam[:, 0, 1], covar_cam[:, 0, 2]
-    c11, c12, c22 = covar_cam[:, 1, 1], covar_cam[:, 1, 2], covar_cam[:, 2, 2]
+    c00, c01, c02 = _cam(0, 0), _cam(0, 1), _cam(0, 2)
+    c11, c12, c22 = _cam(1, 1), _cam(1, 2), _cam(2, 2)
     # sigma = J C J^T
     sxx = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
     sxy = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
@@ -137,10 +197,10 @@ def fully_fused_projection(
     """
     if alive is None:
         alive = jnp.ones(means.shape[0], dtype=bool)
-    covars = quat_scale_to_covar(quats, scales)
+    covar6 = covar_cols(quats, scales)
     radii, means2d, depths, conics, comps = jax.vmap(
         lambda vm, K: _project_one_cam(
-            means, covars, vm, K, width, height, radius_clip, alive
+            means, covar6, vm, K, width, height, radius_clip, alive
         )
     )(viewmats, Ks)
     return ProjResults(radii, means2d, depths, conics, comps)

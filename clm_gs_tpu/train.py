@@ -134,14 +134,16 @@ def training(cfg: Config):
     e2e = End2endTimer()
     timers = Timer(enabled=cfg.bench.enable_timer)
 
-    # multi-chip: shard Gaussians + cameras over the mesh (no_offload only;
-    # offload strategies drive per-camera host streaming and stay single-chip
-    # per host for now)
+    # multi-chip: shard Gaussians + cameras over the mesh. no_offload runs the
+    # explicit shard_map step (parallel/shard.py); clm_offload shards the
+    # 11-float HBM attrs along the gauss axis and keeps its host-driven
+    # per-camera streaming loop — GSPMD inserts the collectives inside the
+    # jitted filter/micro-step programs (the BASELINE north star: per-chip
+    # HBM scales down as 1/n_gauss while SH stays in host DRAM).
     sharded_step = None
-    if (
-        strategy_name == "no_offload"
-        and cfg.tpu.shard_gaussians
-        and len(jax.devices()) > 1
+    mesh = None
+    if cfg.tpu.shard_gaussians and len(jax.devices()) > 1 and strategy_name in (
+        "no_offload", "clm_offload",
     ):
         from clm_gs_tpu.parallel.mesh import (
             data_sharding as _dsh, make_mesh as _mkmesh, shard_state as _shstate,
@@ -150,7 +152,12 @@ def training(cfg: Config):
 
         mesh = _mkmesh(cfg.tpu.mesh_shape)
         n_data = mesh.shape["data"]
-        if bsz % n_data == 0:
+        if strategy_name == "clm_offload":
+            state = _shstate(state, mesh)
+            logger.write(
+                f"multi-chip mesh (clm gauss sharding): {dict(mesh.shape)}\n"
+            )
+        elif bsz % n_data == 0:
             state = _shstate(state, mesh)
             opt_state = jax.tree.map(
                 lambda x: x, init_adam(state.params)
@@ -162,6 +169,7 @@ def training(cfg: Config):
                 f"mesh data axis {n_data} does not divide bsz {bsz}; "
                 "running single-device\n"
             )
+            mesh = None
 
     # strategy-specific placement setup
     strategy_ctx = None
@@ -190,6 +198,11 @@ def training(cfg: Config):
             strategy_ctx = strategy.make_context(cfg, state, adam_cfg)
             state = strategy.strip_device_sh(state)
             opt_state = init_adam(state.params)  # 4 HBM groups + placeholder
+        if mesh is not None:
+            from clm_gs_tpu.parallel.mesh import shard_capacity_tree
+
+            state = shard_capacity_tree(state, mesh, state.capacity)
+            opt_state = shard_capacity_tree(opt_state, mesh, state.capacity)
 
     logger.write(f"setup time: {time.time() - t_setup:.1f} s\n")
     profiling = [False]
@@ -330,16 +343,14 @@ def training(cfg: Config):
                 )
                 if strategy_ctx is not None:
                     strategy_ctx = strategy.post_densify(strategy_ctx, state, info)
-                if sharded_step is not None:
+                if mesh is not None:
                     # growth (jnp.pad) and densify gathers do not preserve the
                     # gauss-axis layout — restore it before the next step
                     from clm_gs_tpu.parallel.mesh import shard_capacity_tree
 
-                    state = shard_capacity_tree(
-                        state, sharded_step[0], state.capacity
-                    )
+                    state = shard_capacity_tree(state, mesh, state.capacity)
                     opt_state = shard_capacity_tree(
-                        opt_state, sharded_step[0], state.capacity
+                        opt_state, mesh, state.capacity
                     )
                 timers.stop("densify", sync=state.params.xyz)
                 logger.densify_report(

@@ -52,3 +52,53 @@ def test_dryrun_entrypoints():
     fn, args = ge.entry()
     img = jax.jit(fn)(*args)
     assert img.shape[0] == 3 and bool(jnp.isfinite(img).all())
+
+
+def test_sharded_clm_matches_single_device():
+    """clm_offload with gauss-sharded HBM attrs must reproduce the
+    single-device clm trajectory (GSPMD inserts the collectives; the host
+    SH streaming is unchanged)."""
+    from dataclasses import replace as _rep
+
+    from clm_gs_tpu.config import Config, init_config
+    from clm_gs_tpu.parallel.mesh import shard_capacity_tree
+    from clm_gs_tpu.strategies import clm_offload
+
+    state, cb = _scene(seed=7)
+    gts = _render_gts(state, cb)
+
+    def mk_cfg():
+        cfg = Config()
+        cfg.aux.clm_offload = True
+        cfg.opt.bsz = gts.shape[0]
+        cfg.opt.lr_scale_mode = "accumu"
+        init_config(cfg)
+        return cfg
+
+    def run(mesh):
+        cfg = mk_cfg()
+        s = state
+        ctx = clm_offload.make_context(cfg, s, AdamConfig())
+        s = clm_offload.strip_device_sh(s)
+        if mesh is not None:
+            s = shard_capacity_tree(s, mesh, s.capacity)
+        opt = init_adam(s.params)
+        losses = []
+        for _ in range(3):
+            s, opt, ctx, out = clm_offload.train_one_batch(
+                s, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+                ISECT_CAP, cfg,
+            )
+            losses.append(np.asarray(out.losses))
+        return clm_offload.materialize(s, ctx), np.array(losses)
+
+    s1, l1 = run(None)
+    mesh = make_mesh("1x4", jax.devices()[:4])
+    s2, l2 = run(mesh)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+    for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1.params, name)),
+            np.asarray(getattr(s2.params, name)),
+            rtol=1e-3, atol=1e-5, err_msg=name,
+        )
