@@ -322,35 +322,23 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
 
 
 def _gather_attrs_bwd(slot_cap, res, v_rows):
+    from clm_gs_tpu.ops.segreduce import segment_reduce_sorted
+
     aligned, n = res
-    # Un-permute v into gaussian-major slot order by carrying the columns as
-    # sort payloads (cheaper than an inverse-perm sort followed by a row
-    # gather).
+    # Group per-instance grad rows by ORIGINAL gaussian id with one payload
+    # sort (padding rows get a huge key and sort last, carrying their zero
+    # values), then reduce each id's contiguous run with the Pallas MXU
+    # segment-reduce — no cumsum + fence gather (XLA lays the cumsum output
+    # column-major, which made the (N, 16) fence row-gather cost ~40-50 ms at
+    # 1M gaussians / 2.4M instances; the streaming one-hot-matmul reduction
+    # is ~6-10 ms) and no unsort (output lands in id order directly).
     ngc = NGC
-    ops = (aligned.src_of,) + tuple(v_rows[:, j] for j in range(ngc))
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    slot_v = jnp.stack(sorted_ops[1:], axis=1)[:slot_cap]
-    csi = jnp.cumsum(slot_v, axis=0)  # inclusive
-
-    def cs_at(i):
-        ic = jnp.clip(i, 0, slot_cap)
-        return jnp.where((ic > 0)[:, None], csi[jnp.maximum(ic - 1, 0)], 0.0)
-
-    # gaussian ranges tile the slot space consecutively in depth-sorted order
-    # (ends[g] == starts[g+1]), so segment sums are adjacent differences of a
-    # single fence gather
-    en = jnp.clip(aligned.gstarts + aligned.gcounts, 0, slot_cap)
-    fence = cs_at(en)  # (N, 9)
-    seg = fence - jnp.concatenate(
-        [jnp.zeros((1, ngc), jnp.float32), fence[:-1]], axis=0
-    )
-    # map back to original gaussian ids (inverse of the depth sort, again via
-    # payload sort rather than a scatter or gather)
-    unsorted = jax.lax.sort(
-        (aligned.order,) + tuple(seg[:, j] for j in range(ngc)),
-        num_keys=1, is_stable=True,
-    )
-    v_table = jnp.stack(unsorted[1:], axis=1)
+    key = jnp.where(aligned.ids >= 0, aligned.ids, jnp.int32(1 << 30))
+    ops = (key,) + tuple(v_rows[:, j] for j in range(ngc))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    v_table = segment_reduce_sorted(
+        sorted_ops[0], sorted_ops[1:], aligned.counts_orig, n
+    )[:, :ngc]
     f0 = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), aligned
     )
@@ -415,17 +403,18 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
         ),
         interpret=_interpret_mode(),
     )(ct, cloc, cslot, cnv, clast, bg4, attrs_b)
-    return out, (attrs_rows, plan, background, out)
+    # residual keeps the BLOCK layout so the backward reuses it directly
+    # (rebuilding it from attrs_rows doubled the live 3.4M-row buffers)
+    return out, (attrs_b, plan, background, out)
 
 
 def _rasterize_sorted_bwd(meta, res, v_out):
-    attrs_rows, plan, background, out = res
+    attrs_b, plan, background, out = res
     tw, th, chunk_cap = meta
     num_tiles = tw * th
     ct, cloc, cslot, cnv, clast, counts = plan
-    cap_t = attrs_rows.shape[0]
-    n_blocks = cap_t // K + 1
-    attrs_b = _attrs_blocks(attrs_rows)
+    n_blocks = attrs_b.shape[0]
+    cap_t = (n_blocks - 1) * K
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(chunk_cap,),

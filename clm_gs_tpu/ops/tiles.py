@@ -37,11 +37,8 @@ class AlignedIsect(NamedTuple):
     starts: jnp.ndarray  # (num_tiles + 1,) aligned segment starts
     counts: jnp.ndarray  # (num_tiles,) true per-tile instance counts
     n_isects: jnp.ndarray  # () true instance count
-    # backward-pass helpers (scatter-free per-gaussian gradient reduction):
-    src_of: jnp.ndarray  # (cap_total,) pre-sort index of each aligned position
-    gstarts: jnp.ndarray  # (N,) slot-space segment start per depth-sorted gaussian
-    gcounts: jnp.ndarray  # (N,) instances per depth-sorted gaussian
-    order: jnp.ndarray  # (N,) depth-sort permutation (sorted pos -> gaussian id)
+    # backward-pass helper (scatter-free per-gaussian gradient reduction):
+    counts_orig: jnp.ndarray  # (N,) instances per gaussian, ORIGINAL id order
 
 
 class IsectResults(NamedTuple):
@@ -330,15 +327,12 @@ def isect_tiles_aligned(
     dummy_tile = jnp.where(dvalid, dtile_f - 1, num_tiles)
 
     # stable sort: reals (earlier positions) precede dummies within a tile.
-    # carry the pre-sort index too — its inverse lets the backward pass reduce
-    # per-gaussian gradients without any scatter.
     keys = jnp.concatenate([tile, dummy_tile])
     payload = jnp.concatenate([orig, jnp.full(dcap, -1, jnp.int32)])
-    src = jnp.arange(isect_cap + dcap, dtype=jnp.int32)
-    _, ids, src_of = jax.lax.sort((keys, payload, src), num_keys=1, is_stable=True)
+    _, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
     return AlignedIsect(
         ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
-        src_of=src_of, gstarts=starts_g, gcounts=counts_g, order=order,
+        counts_orig=cnt_pre,
     )
 
 

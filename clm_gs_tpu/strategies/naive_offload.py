@@ -57,6 +57,54 @@ def make_context(cfg, state: GaussianState, adam_cfg: AdamConfig) -> NaiveContex
     return NaiveContext(params_host=params_host, adams=adams)
 
 
+def strip_device_params(state: GaussianState) -> GaussianState:
+    """Replace every device parameter leaf with a (1, cols) placeholder: the
+    canonical parameters live in host DRAM, and the device copy exists only
+    inside train_one_batch (upload -> microbatches -> grad D2H -> freed),
+    matching the reference's per-batch upload/free lifetime
+    (naive_offload/engine.py:82-104). Between batches the only per-gaussian
+    device arrays are alive/stats (~5 floats/gaussian).
+
+    NOTE state.capacity reads params.xyz — use alive.shape[0] here."""
+    if _is_stripped(state):
+        return state
+    return replace(
+        state,
+        params=GaussianParams(
+            xyz=jnp.zeros((1, 3), jnp.float32),
+            opacity=jnp.zeros((1,), jnp.float32),
+            log_scale=jnp.zeros((1, 3), jnp.float32),
+            quat=jnp.zeros((1, 4), jnp.float32),
+            sh=jnp.zeros((1, 48), jnp.float32),
+        ),
+    )
+
+
+def _is_stripped(state: GaussianState) -> bool:
+    return state.params.xyz.shape[0] != state.alive.shape[0]
+
+
+def materialize(state: GaussianState, ctx: NaiveContext) -> GaussianState:
+    """Full state with parameters restored (uploaded) from the host canonical
+    copy — for eval, densify, save, and the batch compute itself."""
+    if not _is_stripped(state):
+        return state
+    C = state.alive.shape[0]
+    return replace(
+        state,
+        params=GaussianParams(
+            **{
+                n: jnp.asarray(
+                    ctx.params_host[n].reshape(
+                        (C,) if n == "opacity" else (C, GROUP_COLS[n])
+                    )
+                )
+                for n in GROUP_COLS
+            }
+        ),
+    )
+
+
 def grow_context(ctx: NaiveContext, new_cap: int, cfg) -> NaiveContext:
     for n, arr in ctx.params_host.items():
         new = np.zeros((new_cap, arr.shape[1]), np.float32)
@@ -130,17 +178,24 @@ def train_one_batch(
 
     tm = timers if timers is not None else Timer(enabled=False)
     bsz = gt.shape[0]
-    C = state.capacity
+    C = state.alive.shape[0]
+    # per-batch parameter lifetime (engine.py:82-104): upload the canonical
+    # host copy, run the microbatches, offload grads, free the device copy
+    # by returning a stripped state
+    full = materialize(state, ctx)
     tm.start("naive.grads")
     grads, stats, vis_any, max_isects, losses = _batch_grads(
-        state, cams, jnp.asarray(gt), sh_degree, background, width, height,
+        full, cams, jnp.asarray(gt), sh_degree, background, width, height,
         isect_cap, accumulate_stats=not cfg.opt.disable_auto_densification,
         lambda_dssim=cfg.opt.lambda_dssim,
         loss_scale=cfg.opt.lr_scale_loss,
     )
     tm.stop("naive.grads", sync=losses)
     if cfg.debug.stop_update_param:  # debug: skip all updates (engine.py:331)
-        return state, opt_state, ctx, StepOut(losses, max_isects, vis_any)
+        return (
+            strip_device_params(state),
+            opt_state, ctx, StepOut(losses, max_isects, vis_any),
+        )
 
     # bulk D2H of grads + host Adam over each group
     tm.start("naive.d2h_adam")
@@ -164,19 +219,11 @@ def train_one_batch(
         )
     tm.stop("naive.d2h_adam")
 
-    # bulk H2D: refresh the device copy
-    new_params = GaussianParams(
-        **{
-            n: jnp.asarray(
-                ctx.params_host[n].reshape(
-                    (C,) if n == "opacity" else (C, GROUP_COLS[n])
-                )
-            )
-            for n in GROUP_COLS
-        }
-    )
+    # updated canonical values live on the host; the device copy is freed
+    # (stripped state) until the next batch / eval / densify materializes it
     new_state = GaussianState(
-        params=new_params, alive=state.alive, n_alive=state.n_alive,
+        params=strip_device_params(state).params,
+        alive=state.alive, n_alive=state.n_alive,
         xyz_grad_accum=state.xyz_grad_accum + stats[0],
         denom=state.denom + stats[1],
         max_radii2d=state.max_radii2d,
@@ -185,9 +232,9 @@ def train_one_batch(
 
 
 def post_densify(ctx: NaiveContext, state: GaussianState, info):
-    """After device-side densification, refresh the host mirror (values were
-    produced on device) and zero the moments of freshly-written rows."""
-    C = state.capacity
+    """After device-side densification (on a materialized state), refresh the
+    host mirror and zero the moments of freshly-written rows."""
+    C = state.alive.shape[0]
     written = np.asarray(info.written)
     for n, cols in GROUP_COLS.items():
         ctx.params_host[n] = (
@@ -199,7 +246,7 @@ def post_densify(ctx: NaiveContext, state: GaussianState, info):
 
 
 def post_opacity_reset(ctx: NaiveContext, state: GaussianState):
-    C = state.capacity
+    C = state.alive.shape[0]
     ctx.params_host["opacity"] = (
         np.asarray(state.params.opacity).reshape(C, 1).copy()
     )
@@ -229,5 +276,6 @@ def restore_extra(ctx: NaiveContext, arrays: dict) -> NaiveContext:
     return ctx
 
 
-# eval: params already resident on device
+# eval: train.py materializes the params before the eval loop
 eval_one_cam = no_offload.eval_one_cam
+eval_batch = no_offload.eval_batch

@@ -81,25 +81,26 @@ def train_step(
         )(params, probe0)
 
         grads_acc = jax.tree.map(jnp.add, grads_acc, g_params)
-        vis = out.radii > 0
-        vis_any = vis_any | vis
+        # carry visibility as f32, not bool: (C,) pred carries cost ~33 ms/cam
+        # in layout copies on TPU (measured via xplane trace)
+        visf = (out.radii > 0).astype(jnp.float32)
+        vis_any = jnp.maximum(vis_any, visf)
         max_isects = jnp.maximum(max_isects, out.n_isects)
         if accumulate_stats:
             g = g_probe * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
             norm = jnp.linalg.norm(g, axis=-1)
-            stats_acc = (
-                stats_acc[0] + norm * vis, stats_acc[1] + vis.astype(jnp.float32),
-            )
+            stats_acc = (stats_acc[0] + norm * visf, stats_acc[1] + visf)
         return (grads_acc, stats_acc, vis_any, max_isects), loss
 
     init = (
         zero_grads,
         (jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32)),
-        jnp.zeros(C, bool),
+        jnp.zeros(C, jnp.float32),
         jnp.zeros((), jnp.int32),
     )
     cam_stack = (cams.viewmats, cams.Ks, cams.camtoworlds, gt_images)
     (grads, stats, vis_any, max_isects), losses = jax.lax.scan(micro, init, cam_stack)
+    vis_any = vis_any > 0
 
     # grad /= bsz before Adam (train.py:533-577)
     grads = jax.tree.map(lambda g: g / bsz, grads)

@@ -181,6 +181,8 @@ def training(cfg: Config):
             strategy_ctx = strategy.restore_extra(
                 strategy_ctx, dict(np.load(extra_path))
             )
+        # params live on host; device copy exists only within a batch/eval
+        state = strategy.strip_device_params(state)
     elif strategy_name == "clm_offload":
         resumed_stripped = state.params.sh.shape[0] != state.capacity
         if resumed_stripped:
@@ -306,7 +308,24 @@ def training(cfg: Config):
             e2e.start()
 
         # ---- densification ----
-        if not cfg.opt.disable_auto_densification and iteration <= cfg.opt.densify_until_iter:
+        densify_window = (
+            not cfg.opt.disable_auto_densification
+            and iteration <= cfg.opt.densify_until_iter
+        )
+        if densify_window and strategy_name == "naive_offload":
+            # densify/reset operate on device params: materialize for the
+            # section, strip again after (post_densify syncs host copies)
+            will_densify = iteration > cfg.opt.densify_from_iter and (
+                check_update_at_this_iter(
+                    iteration, bsz, cfg.opt.densification_interval, 0
+                )
+            )
+            will_reset = check_update_at_this_iter(
+                iteration, bsz, cfg.opt.opacity_reset_interval, 0
+            )
+            if will_densify or will_reset:
+                state = strategy.materialize(state, strategy_ctx)
+        if densify_window:
             # densification stats are garbage without param updates
             # (reference densification.py:19-20)
             assert not cfg.debug.stop_update_param, (
@@ -364,6 +383,8 @@ def training(cfg: Config):
                 if strategy_ctx is not None:
                     strategy_ctx = strategy.post_opacity_reset(strategy_ctx, state)
                 logger.write(f"iteration[{iteration},{iteration+bsz}) reset_opacity\n")
+            if strategy_name == "naive_offload":
+                state = strategy.strip_device_params(state)
 
         # ---- save / checkpoint ----
         save_hits = [
@@ -373,7 +394,7 @@ def training(cfg: Config):
             e2e.pause(sync=out.losses)
             scene.gaussians = (
                 strategy.materialize(state, strategy_ctx)
-                if strategy_name == "clm_offload" else state
+                if strategy_name in ("clm_offload", "naive_offload") else state
             )
             scene.save(save_hits[-1], logger)
             logger.write(f"[ITER {iteration}] Saving Gaussians\n")
@@ -382,8 +403,16 @@ def training(cfg: Config):
             iteration <= c < iteration + bsz for c in cfg.aux.checkpoint_iterations
         ):
             e2e.pause(sync=out.losses)
-            ckpt_state = state
-            ckpt_opt = opt_state if opt_state is not None else init_adam(state.params)
+            # naive: checkpoint the materialized params so chkpnt.npz is
+            # self-contained (resume re-strips after make_context)
+            ckpt_state = (
+                strategy.materialize(state, strategy_ctx)
+                if strategy_name == "naive_offload" else state
+            )
+            ckpt_opt = (
+                opt_state if opt_state is not None
+                else init_adam(ckpt_state.params)
+            )
             save_checkpoint(
                 cfg.model.model_path, iteration + bsz, ckpt_state, ckpt_opt, rng
             )
@@ -419,7 +448,13 @@ def training_report(cfg, scene, state, strategy_ctx, sh_degree, background,
                     isect_cap, iteration, logger):
     """Eval loop (train.py:669-846): L1 + PSNR over test and a train subset."""
     strategy = STRATEGIES[cfg.strategy]
-    eval_state = (state, strategy_ctx) if cfg.strategy == "clm_offload" else state
+    if cfg.strategy == "clm_offload":
+        eval_state = (state, strategy_ctx)
+    elif cfg.strategy == "naive_offload":
+        # one upload for the whole eval loop; freed when this scope exits
+        eval_state = strategy.materialize(state, strategy_ctx)
+    else:
+        eval_state = state
     W, H = scene.width, scene.height
     # --eval_res_cap: render + compare at an integer-downsampled resolution
     res_f = 1

@@ -65,7 +65,8 @@ def _run_naive(state, cb, gts, sparse=False):
             ISECT_CAP, cfg,
         )
         losses.append(np.asarray(out.losses))
-    return state, np.array(losses)
+    # train_one_batch returns a stripped state (device params freed per batch)
+    return naive_offload.materialize(state, ctx), np.array(losses)
 
 
 def _run_clm(state, cb, gts, sparse=False):
