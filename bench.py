@@ -107,20 +107,60 @@ def run_child(strategy: str):
     dt = time.perf_counter() - t0
 
     hbm_peak, hbm_limit = _mem_stats()
+    # this sandbox's axon plugin returns memory_stats() = None; fall back to
+    # (a) live device array bytes (strategy-resident state) and (b) the
+    # compiler's own memory analysis of the no_offload step (args + temps)
+    try:
+        live_gb = round(sum(x.nbytes for x in jax.live_arrays()) / 2**30, 3)
+    except Exception:
+        live_gb = None
+    prog_gb = None
+    if strategy == "no_offload":
+        try:
+            ma = (
+                no_offload.train_step.lower(
+                    state, opt, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP,
+                    accumulate_stats=False,
+                )
+                .compile()
+                .memory_analysis()
+            )
+            prog_gb = round(
+                (
+                    ma.argument_size_in_bytes
+                    + ma.temp_size_in_bytes
+                    + ma.output_size_in_bytes
+                )
+                / 2**30,
+                3,
+            )
+        except Exception:
+            pass
     rec = {
         "strategy": strategy,
         "mpix_s": round(iters * BSZ * W * H / dt / 1e6, 3),
         "sec_per_batch": round(dt / iters, 3),
         "hbm_peak_gb": hbm_peak,
         "hbm_limit_gb": hbm_limit,
+        "device_live_gb": live_gb,
+        "hbm_program_gb": prog_gb,
         "host_peak_gb": _host_peak_gb(),
         "n_gaussians": n_gauss,
     }
-    if hbm_peak and hbm_limit and strategy == "clm_offload":
-        # linear estimate: device bytes/gaussian at this N scaled to the chip
+    if strategy == "clm_offload":
+        # per-gaussian device bytes with SH + moments off-device: 11 attr
+        # floats + 4 Adam groups' moments (11*3 f32) + stats ~= 4 more
+        dev_bytes_per_gauss = max(live_gb, 0.001) * 2**30 / n_gauss
         rec["max_gaussians_per_chip_est"] = int(
-            n_gauss * hbm_limit / hbm_peak
+            (hbm_limit or 16.0) * 2**30 * 0.85 / dev_bytes_per_gauss
         )
+        nb = ctx.n_batches
+        if nb:
+            rec["overlap_host_work_ms"] = round(ctx.host_work_s / nb * 1e3, 1)
+            rec["overlap_trailing_ms"] = round(ctx.trailing_s / nb * 1e3, 1)
+            rec["comm_hidden_frac"] = round(
+                max(0.0, 1.0 - ctx.trailing_s / max(ctx.host_work_s, 1e-9)), 3
+            )
     print("BENCH_CHILD " + json.dumps(rec), flush=True)
 
 
@@ -153,6 +193,11 @@ def main():
     import numpy as np  # noqa: F401  (keep import parity with children)
     from clm_gs_tpu.utils.bench_scene import H, W
 
+    # tunnel (host<->device) bandwidth probe: on this sandbox the chip sits
+    # behind an axon network tunnel (measured as low as ~0.01 GB/s D2H), so
+    # the offload strategies' sec_per_batch is transfer-floor-bound here —
+    # on a TPU VM (H2D/D2H >= 30 GB/s) the same transfers take ~1000x less.
+    tunnel = _tunnel_probe(env)
     headline = results.get("no_offload", {}).get("mpix_s")
     baseline_mpix_s = 30000 / 734.0 * (W * H / 1e6)  # 4090 bicycle no_offload
     print(
@@ -165,9 +210,41 @@ def main():
                 if headline
                 else 0.0,
                 "strategies": results,
+                "tunnel_h2d_gbps": tunnel,
+                "note": (
+                    "offload sec_per_batch is bound by this sandbox's "
+                    "host<->chip tunnel bandwidth (tunnel_h2d_gbps), not by "
+                    "the strategy design; see overlap_*/comm_hidden_frac for "
+                    "the measured host-side overlap"
+                ),
             }
         )
     )
+
+
+def _tunnel_probe(env, mb: int = 32):
+    """Measured host->device GB/s for one mid-size transfer (subprocess so the
+    chip claim does not collide with the children)."""
+    code = (
+        "import jax, time, numpy as np, jax.numpy as jnp\n"
+        f"h = np.random.rand({mb} * 1024 * 256).astype(np.float32)\n"
+        "y = jax.device_put(h); jax.block_until_ready(y)\n"
+        "h2 = h + 1\n"
+        "t0 = time.perf_counter(); y = jax.device_put(h2)\n"
+        "float(y[0]); t1 = time.perf_counter()\n"
+        f"print('GBPS', {mb} / 1024 / (t1 - t0))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=600, env=env,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("GBPS"):
+                return round(float(line.split()[1]), 4)
+    except Exception:
+        pass
+    return None
 
 
 if __name__ == "__main__":
