@@ -58,9 +58,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned, tight_extents
 
-TILE = 16
-P = TILE * TILE  # 256 pixels per tile
-K = 256  # instances per chunk
+import os
+
+TILE_W = 32
+TILE_H = 16
+P = TILE_W * TILE_H  # 512 pixels per tile; wide tiles halve per-splat tile
+# coverage (instances), which is what the sort/gather/fill glue scales with
+# instances per chunk; the kernels cost ~1 us (fwd) / ~2 us (bwd) of FIXED
+# per-grid-step overhead (measured: an all-terminated pass runs at 95% of the
+# full-compute pass), so fatter chunks trade alignment-padding slots in the
+# glue for fewer grid steps (env override for A/B probing only)
+K = int(os.environ.get("CLMGS_CHUNK_K", "256"))
 ALIGN = K  # per-tile ranges own whole chunks
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
@@ -100,10 +108,12 @@ def _pixel_coords(t, tile_width):
     ty = t // tile_width
     tx = jax.lax.rem(t, tile_width)
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    pxf = (tx * TILE).astype(jnp.float32) + (
-        jax.lax.rem(idx, TILE).astype(jnp.float32) + 0.5
+    pxf = (tx * TILE_W).astype(jnp.float32) + (
+        jax.lax.rem(idx, TILE_W).astype(jnp.float32) + 0.5
     )
-    pyf = (ty * TILE).astype(jnp.float32) + ((idx // TILE).astype(jnp.float32) + 0.5)
+    pyf = (ty * TILE_H).astype(jnp.float32) + (
+        (idx // TILE_W).astype(jnp.float32) + 0.5
+    )
     return pxf, pyf
 
 
@@ -197,7 +207,7 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, t_ref, done_re
         )
 
 
-def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, res_ref, v_ref, grads_ref,
+def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
                 t_ref, done_ref, e_ref, *, tile_width, num_tiles):
     i = pl.program_id(0)
     tile = ct[i]
@@ -220,9 +230,12 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, res_ref, v_ref, grads_ref,
     @pl.when(run)
     def _():
         pxf, pyf = _pixel_coords(tile, tile_width)
-        v4 = v_ref[0]  # (4, P) cotangent of this tile's output block
-        total4 = res_ref[0]  # (4, P) fwd output
-        d_tot = jnp.sum(v4 * total4, axis=0, keepdims=True)  # (1, P)
+        # (5, P) block: rows 0-3 the output cotangent, row 4 the precomputed
+        # <v4, fwd_total> contraction (folding it into one block stream saves
+        # a whole per-grid-step input pipeline vs a separate residual block —
+        # per-step fixed cost is ~0.4 us per block stream)
+        v4 = v_ref[0, 0:4]
+        d_tot = v_ref[0, 4:5]  # (1, P)
         T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
         g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
         w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
@@ -422,8 +435,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
             pl.BlockSpec(
                 (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
             ),
-            pl.BlockSpec((1, 4, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
-            pl.BlockSpec((1, 4, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
+            pl.BlockSpec((1, 5, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
@@ -435,12 +447,17 @@ def _rasterize_sorted_bwd(meta, res, v_out):
         ],
     )
 
-    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, res_ref, v_ref, grads_ref,
+    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, v_ref, grads_ref,
              t_ref, done_ref, e_ref):
-        _bwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, res_ref, v_ref,
+        _bwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, v_ref,
                     grads_ref, t_ref, done_ref, e_ref, tile_width=tw,
                     num_tiles=num_tiles)
 
+    # fold the <v, total> per-pixel contraction into a 5th cotangent row so
+    # the kernel streams ONE (5, P) block per tile instead of two 4-row blocks
+    vplus = jnp.concatenate(
+        [v_out, jnp.sum(v_out * out, axis=1, keepdims=True)], axis=1
+    )
     grads_b = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_blocks, ATTR_ROWS, K), jnp.float32),
@@ -449,7 +466,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret_mode(),
-    )(ct, cloc, cslot, cnv, clast, attrs_b, out, v_out)
+    )(ct, cloc, cslot, cnv, clast, attrs_b, vplus)
     v_attrs = jnp.transpose(grads_b[:-1, :NGC], (0, 2, 1)).reshape(cap_t, NGC)
     # background cotangent: sum_p T_final[p] * v_rgb[:, p]; mask empty tiles
     # (their fwd rows were never written and may hold garbage/NaN)
@@ -486,8 +503,8 @@ def rasterize(
     Returns: (image (3, H, W), alpha (H, W), n_isects ()).
     Differentiable wrt means2d, conics, colors, opacities, background.
     """
-    tw = -(-width // TILE)
-    th = -(-height // TILE)
+    tw = -(-width // TILE_W)
+    th = -(-height // TILE_H)
     num_tiles = tw * th
     # aligned layout capacity: every tile may waste up to ALIGN-1 slots
     cap_round = -(-isect_cap // K) * K
@@ -504,7 +521,7 @@ def rasterize(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(radii),
         jax.lax.stop_gradient(depths),
-        TILE, tw, th, cap_round, ALIGN,
+        (TILE_W, TILE_H), tw, th, cap_round, ALIGN,
         extents=ext,
     )
     starts, counts, n_isects = aligned.starts, aligned.counts, aligned.n_isects
@@ -523,8 +540,10 @@ def rasterize(
     empty = (counts == 0)[:, None, None]
     bg4 = jnp.concatenate([background, jnp.zeros((1,), jnp.float32)])
     img_tiles = jnp.where(empty, bg4[None, :, None], out[:num_tiles])
-    # (num_tiles, 4, P) -> (4, th*TILE, tw*TILE) -> crop
-    img = img_tiles.reshape(th, tw, 4, TILE, TILE)
-    img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(4, th * TILE, tw * TILE)
+    # (num_tiles, 4, P) -> (4, th*TILE_H, tw*TILE_W) -> crop
+    img = img_tiles.reshape(th, tw, 4, TILE_H, TILE_W)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4)).reshape(
+        4, th * TILE_H, tw * TILE_W
+    )
     img = img[:, :height, :width]
     return img[0:3], img[3], n_isects

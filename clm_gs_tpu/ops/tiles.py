@@ -57,55 +57,68 @@ def _forward_fill(channels, block: int = 1024):
     1M elements, ~4 min at 2M, >20 min at 4M measured on v5e).
 
     Positions before the first valid entry keep channel values 0.
+
+    All channels share channel 0's validity structure, so they are stacked
+    into ONE (C, rows, block) array and filled with a single broadcast mask:
+    XLA then emits one fused doubling chain instead of C separate ones
+    (measured 14.5 -> ~5 ms per camera at bench scale for C=3 at 2.4M).
     """
     n = channels[0].shape[0]
     if n % block != 0:  # small/odd capacities (tests): single-level fill
         block = n
     rows = n // block
+    x = jnp.stack([c.reshape(rows, block) for c in channels], axis=0)
 
-    def fill2d(chs, axis):
-        size = chs[0].shape[axis]
+    def fill3d(x, axis):
+        size = x.shape[axis]
         s = 1
         while s < size:
-            # shifted-by-s copies with zero fill (zero = invalid)
-            shifted = []
-            for x in chs:
-                pad_shape = list(x.shape)
-                pad_shape[axis] = s
-                pad = jnp.zeros(pad_shape, x.dtype)
-                sl = [slice(None), slice(None)]
-                sl[axis] = slice(0, size - s)
-                shifted.append(jnp.concatenate([pad, x[tuple(sl)]], axis=axis))
-            keep = chs[0] != 0
-            chs = tuple(jnp.where(keep, c, sc) for c, sc in zip(chs, shifted))
+            # shifted-by-s copy with zero fill (zero = invalid)
+            pad = [(0, 0), (0, 0), (0, 0)]
+            pad[axis] = (s, 0)
+            sl = [slice(None), slice(None), slice(None)]
+            sl[axis] = slice(0, size)
+            shifted = jnp.pad(x, pad)[tuple(sl)]
+            x = jnp.where(x[0:1] != 0, x, shifted)
             s *= 2
-        return chs
+        return x
 
-    chs2d = tuple(c.reshape(rows, block) for c in channels)
-    intra = fill2d(chs2d, axis=1)
+    intra = fill3d(x, axis=2)
     # inter-block carries: last column of each row, filled along rows, shifted
     # down by one (exclusive) so row i sees the fill from rows < i
-    lasts = tuple(c[:, -1:] for c in intra)
-    lasts_f = fill2d(lasts, axis=0)
-    carries = tuple(
-        jnp.concatenate([jnp.zeros((1, 1), c.dtype), c[:-1]], axis=0)
-        for c in lasts_f
-    )
-    out = tuple(
-        jnp.where(intra[0] != 0, c, carry)
-        for c, carry in zip(intra, carries)
-    )
-    return tuple(c.reshape(n) for c in out)
+    lasts_f = fill3d(intra[:, :, -1:], axis=1)
+    carries = jnp.pad(lasts_f, ((0, 0), (1, 0), (0, 0)))[:, :rows]
+    out = jnp.where(intra[0:1] != 0, intra, carries)
+    return tuple(out[c].reshape(n) for c in range(len(channels)))
+
+
+def _tile_wh(tile_size):
+    """tile_size may be an int (square) or an (x, y) pair (rectangular —
+    wide 32x16 tiles halve the per-splat tile coverage for small splats,
+    which is most of the sort/gather/fill work)."""
+    if isinstance(tile_size, (tuple, list)):
+        return int(tile_size[0]), int(tile_size[1])
+    return int(tile_size), int(tile_size)
+
+
+def _depth_key(depths, valid):
+    """Monotone int32 sort key for positive camera-space depths (projection
+    culls z <= near, so visible depths are positive and their IEEE-754 bit
+    patterns order like the floats). s32 keys sort ~15% faster than f32 on
+    v5e; invalid rows get INT32_MAX and sort last."""
+    bits = jax.lax.bitcast_convert_type(depths, jnp.int32)
+    return jnp.where(valid, bits, jnp.int32(0x7FFFFFFF))
 
 
 def tile_bbox(means2d, rx, ry, tile_size, tile_width, tile_height):
     """Per-gaussian inclusive-exclusive tile bounds ([x0,x1) x [y0,y1)) from
     per-axis half-extents (pass rx == ry == radii for the gsplat circle
     bbox)."""
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, tile_width)
-    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tile_width)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, tile_height)
-    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, tile_height)
+    tsx, tsy = _tile_wh(tile_size)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tsx), 0, tile_width)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tsx), 0, tile_width)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tsy), 0, tile_height)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tsy), 0, tile_height)
     return (
         x0.astype(jnp.int32),
         x1.astype(jnp.int32),
@@ -176,7 +189,7 @@ def isect_tiles(
     geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)  # 9 bits each; tiles < 512/axis
     valid_g = (radii > 0) & (rx > 0) & (ry > 0)
     cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
-    d_key = jnp.where(valid_g, depths, jnp.inf)
+    d_key = _depth_key(depths, valid_g)
     _, order, packed_geo, counts = jax.lax.sort(
         (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
         num_keys=1, is_stable=True,
@@ -254,7 +267,7 @@ def isect_tiles_aligned(
     geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
     valid_g = (radii > 0) & (rx > 0) & (ry > 0)
     cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
-    d_key = jnp.where(valid_g, depths, jnp.inf)
+    d_key = _depth_key(depths, valid_g)
     _, order, packed_geo, counts_g = jax.lax.sort(
         (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
         num_keys=1, is_stable=True,
