@@ -60,8 +60,8 @@ from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned, tight_exten
 
 import os
 
-TILE_W = 32
-TILE_H = 16
+TILE_W = int(os.environ.get("CLMGS_TILE_W", "32"))
+TILE_H = int(os.environ.get("CLMGS_TILE_H", "16"))
 P = TILE_W * TILE_H  # 512 pixels per tile; wide tiles halve per-splat tile
 # coverage (instances), which is what the sort/gather/fill glue scales with
 # instances per chunk; the kernels cost ~1 us (fwd) / ~2 us (bwd) of FIXED
@@ -165,8 +165,8 @@ def _chunk_compositing(g, T, done):
     return w, T_excl, keep, T_new, done_new
 
 
-def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, t_ref, done_ref,
-                *, tile_width, num_tiles):
+def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, lc_ref,
+                t_ref, done_ref, *, tile_width, num_tiles):
     i = pl.program_id(0)
     tile = ct[i]
     alive = tile < num_tiles
@@ -191,6 +191,10 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, t_ref, done_re
         )  # (4, P)
         t_ref[:] = T_new
         done_ref[:] = done_new.astype(jnp.float32)
+        # record how many chunks this tile actually composited: the backward
+        # compacts its grid to these live prefixes (post-termination chunks
+        # have zero gradient but still cost a block fetch + grid step each)
+        lc_ref[:] = jnp.full((1, 128), (cloc[i] + 1).astype(jnp.float32))
 
     @pl.when(alive & (clast[i] == 1))
     def _():
@@ -394,22 +398,29 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
                 lambda i, ct, cl, cs, nv, la, bg: (cs[i], 0, 0),
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 4, P), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 4, P), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
+            ),
+            pl.BlockSpec((1, 128), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
         ],
     )
 
-    def kern(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref, t_ref, done_ref):
+    def kern(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref, lc_ref,
+             t_ref, done_ref):
         _fwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref,
-                    t_ref, done_ref, tile_width=tw, num_tiles=num_tiles)
+                    lc_ref, t_ref, done_ref, tile_width=tw, num_tiles=num_tiles)
 
-    out = pl.pallas_call(
+    out, lc = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, P), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles + 1, 4, P), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 128), jnp.float32),
+        ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -418,16 +429,48 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
     )(ct, cloc, cslot, cnv, clast, bg4, attrs_b)
     # residual keeps the BLOCK layout so the backward reuses it directly
     # (rebuilding it from attrs_rows doubled the live 3.4M-row buffers)
-    return out, (attrs_b, plan, background, out)
+    return out, (attrs_b, plan, background, out, lc)
 
 
 def _rasterize_sorted_bwd(meta, res, v_out):
-    attrs_b, plan, background, out = res
+    attrs_b, plan, background, out, lc = res
     tw, th, chunk_cap = meta
     num_tiles = tw * th
     ct, cloc, cslot, cnv, clast, counts = plan
     n_blocks = attrs_b.shape[0]
     cap_t = (n_blocks - 1) * K
+
+    # Dead-chunk compaction: the forward recorded each tile's composited-chunk
+    # count (post-termination chunks contribute exactly zero gradient). Stable
+    # sort live chunks to the front; the dead tail collapses onto the constant
+    # trash tile/block, so Mosaic's pipeline skips their block fetches and each
+    # dead grid step costs only the bare sequencing overhead (~0.4 us) instead
+    # of a full stream step. Live relative order is preserved, so per-tile
+    # carry chains (cloc 0..lc-1) replay unchanged.
+    lc_t = jnp.where(counts > 0, lc[:num_tiles, 0].astype(jnp.int32), 0)
+    tc = jnp.minimum(ct, num_tiles - 1)
+    live = (ct < num_tiles) & (cloc < lc_t[tc])
+    dead_key = jnp.logical_not(live).astype(jnp.int32)
+    _, ct, cloc, cslot_live, cnv, clast = jax.lax.sort(
+        (
+            dead_key,
+            jnp.where(live, ct, num_tiles),
+            cloc,
+            jnp.where(live, cslot, n_blocks - 1),
+            jnp.where(live, cnv, 0),
+            jnp.where(live, clast, 0),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    # grads blocks of dead chunks are never visited by the kernel: mask them
+    block_ran = (
+        jnp.zeros((n_blocks,), jnp.bool_)
+        .at[cslot_live]
+        .set(True, mode="drop")
+    )
+    block_ran = block_ran.at[n_blocks - 1].set(False)
+    cslot = cslot_live
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(chunk_cap,),
@@ -467,6 +510,9 @@ def _rasterize_sorted_bwd(meta, res, v_out):
         ),
         interpret=_interpret_mode(),
     )(ct, cloc, cslot, cnv, clast, attrs_b, vplus)
+    # zero the never-visited (dead/padding) grad blocks — their contents are
+    # undefined; jnp.where (not multiply) so NaN garbage cannot leak through
+    grads_b = jnp.where(block_ran[:, None, None], grads_b, 0.0)
     v_attrs = jnp.transpose(grads_b[:-1, :NGC], (0, 2, 1)).reshape(cap_t, NGC)
     # background cotangent: sum_p T_final[p] * v_rgb[:, p]; mask empty tiles
     # (their fwd rows were never written and may hold garbage/NaN)

@@ -184,6 +184,51 @@ class TestPallasVsOracle:
         assert int(n_isects) > 64
         assert np.isfinite(np.asarray(img)).all()
 
+    def test_grad_deep_stack_early_termination(self):
+        """Hundreds of near-opaque gaussians piled on a few tiles: every tile
+        terminates well before its last K-chunk, so the backward's dead-chunk
+        compaction (live-prefix grid + never-visited grad-block masking) is
+        on the hot path. Gradients must still match the oracle exactly —
+        post-termination instances get zero gradient in both."""
+        n = 700  # >> K instances per tile -> multiple chunks
+        rng = np.random.RandomState(7)
+        w, h = 64, 48
+        # broad splats spread over the whole image: every pixel is covered by
+        # many near-opaque instances, so every tile's pixels all saturate
+        # within the first chunk while owning 2-3 chunks of instances
+        m2d = jnp.asarray(
+            np.stack([rng.rand(n) * w, rng.rand(n) * h], 1), jnp.float32
+        )
+        conics = jnp.tile(jnp.array([[0.02, 0.0, 0.02]], jnp.float32), (n, 1))
+        colors = jnp.asarray(rng.rand(n, 3), jnp.float32)
+        opac = jnp.asarray(0.6 + 0.39 * rng.rand(n), jnp.float32)
+        depths = jnp.asarray(1.0 + rng.rand(n), jnp.float32)
+        radii = jnp.full((n,), 30.0, jnp.float32)
+        target = jnp.zeros((3, h, w))
+
+        def loss(fn, m2d, colors, opac, bg):
+            out = fn(m2d, conics, colors, opac, depths, radii, w, h, bg)
+            return jnp.sum((out[0] - target) ** 2)
+
+        gp = jax.grad(
+            lambda *a: loss(
+                lambda *r: rasterize(*r, isect_cap=16384), *a
+            ),
+            argnums=(0, 1, 2, 3),
+        )(m2d, colors, opac, BG)
+        gr = jax.grad(
+            lambda *a: loss(rasterize_reference, *a), argnums=(0, 1, 2, 3)
+        )(m2d, colors, opac, BG)
+        for name, a, b in zip(["means2d", "colors", "opac", "bg"], gp, gr):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+            )
+        # sanity: termination actually kicked in (grads of deep instances 0)
+        order = np.argsort(np.asarray(depths))
+        assert np.abs(np.asarray(gp[2])[order[-50:]]).max() == 0.0
+
 
 class TestGolden:
     """Golden-image regression: any semantic drift in the render pipeline

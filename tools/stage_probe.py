@@ -82,15 +82,17 @@ def main():
 
     # 4. fwd kernel (incl. block build)
     meta = (tw, th, chunk_cap)
-    fwd = jax.jit(lambda a, pl_: R._rasterize_sorted_fwd(a, pl_, meta, bg)[0])
+    fwd = jax.jit(lambda a, pl_: R._rasterize_sorted_fwd(a, pl_, meta, bg)[0][0])
     out, t_fwd = timeit("fwd pallas (+block build)", fwd, attrs_rows, plan)
+    lc = jax.jit(lambda a, pl_: R._rasterize_sorted_fwd(a, pl_, meta, bg)[1][4])(
+        attrs_rows, plan)
 
     # 5. bwd kernel alone (prebuilt residual)
     attrs_b = jax.jit(R._attrs_blocks)(attrs_rows)
     v_out = out * 2.0
 
     def bwd(ab, o, v):
-        return R._rasterize_sorted_bwd(meta, (ab, plan, bg, o), v)
+        return R._rasterize_sorted_bwd(meta, (ab, plan, bg, o, lc), v)
     _, t_bwd = timeit("bwd pallas (+v_bg)", jax.jit(bwd), attrs_b, out, v_out)
 
     # 6. grad reduction (sort + segment reduce) on fake per-slot grads
