@@ -193,8 +193,9 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, lc_ref,
         done_ref[:] = done_new.astype(jnp.float32)
         # record how many chunks this tile actually composited: the backward
         # compacts its grid to these live prefixes (post-termination chunks
-        # have zero gradient but still cost a block fetch + grid step each)
-        lc_ref[:] = jnp.full((1, 128), (cloc[i] + 1).astype(jnp.float32))
+        # have zero gradient but still cost a block fetch + grid step each).
+        # (8, 128) block: Mosaic's minimum f32 tile for a non-degenerate dim
+        lc_ref[0] = jnp.full((8, 128), (cloc[i] + 1).astype(jnp.float32))
 
     @pl.when(alive & (clast[i] == 1))
     def _():
@@ -402,7 +403,9 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
             pl.BlockSpec(
                 (1, 4, P), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
             ),
-            pl.BlockSpec((1, 128), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0)),
+            pl.BlockSpec(
+                (1, 8, 128), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -419,7 +422,7 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
         kern,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles + 1, 4, P), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 8, 128), jnp.float32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -447,7 +450,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
     # dead grid step costs only the bare sequencing overhead (~0.4 us) instead
     # of a full stream step. Live relative order is preserved, so per-tile
     # carry chains (cloc 0..lc-1) replay unchanged.
-    lc_t = jnp.where(counts > 0, lc[:num_tiles, 0].astype(jnp.int32), 0)
+    lc_t = jnp.where(counts > 0, lc[:num_tiles, 0, 0].astype(jnp.int32), 0)
     tc = jnp.minimum(ct, num_tiles - 1)
     live = (ct < num_tiles) & (cloc < lc_t[tc])
     dead_key = jnp.logical_not(live).astype(jnp.int32)
