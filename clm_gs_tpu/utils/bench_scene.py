@@ -11,10 +11,10 @@ CAP = 1_048_576
 W, H = 1237, 822
 BSZ = 4
 # the cap the trainer's adaptive bucketing converges to for this scene:
-# round_up(n_isects * 1.25, 2**17) with n_isects = 1501798 under the
+# round_up(n_isects * 1.15, 2**17) with n_isects = 1501798 under the
 # opacity-aware tight bboxes + 32x16 rectangular tiles (train.py grows the
-# bucket whenever max_isects > 0.92 * cap)
-ISECT_CAP = 1966080
+# bucket whenever max_isects > 0.93 * cap)
+ISECT_CAP = 1835008
 
 
 def make_scene(n: int = N, cap: int = CAP, bsz: int = BSZ, w: int = W, h: int = H):

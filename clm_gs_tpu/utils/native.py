@@ -150,13 +150,29 @@ class HostAdam:
         step = self.step_count if step is None else step
         indices = np.ascontiguousarray(indices, np.int32)
         if _adam is not None:
+            # The native kernel indexes raw row-major buffers. np.asarray of a
+            # 2-D device array can be an F-ordered VIEW on the axon TPU client
+            # (strides transposed, zero-copy) — feeding its raw pointer here
+            # silently garbles every multi-column group (found as a 10.7 dB
+            # naive_offload quality collapse; CPU backends always hand back
+            # C-order, which is why tests passed). ascontiguousarray is a
+            # no-op for the owned host buffers and copies only the offending
+            # views; grad zeroing is replayed on the original if copied.
+            assert params.flags["C_CONTIGUOUS"], "params must be the owned host buffer"
+            g = np.ascontiguousarray(grads, np.float32)
             _adam.adam_sparse_step(
-                _ptr(params, _f32p), _ptr(grads, _f32p),
+                _ptr(params, _f32p), _ptr(g, _f32p),
                 _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
                 _ptr(indices, _i32p), len(indices), self.cols,
                 _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
                 self.eps, grad_scale, step,
             )
+            if (
+                g is not grads
+                and isinstance(grads, np.ndarray)
+                and grads.flags.writeable
+            ):
+                grads[indices] = 0.0  # preserve version=3 zeroing semantics
             return
         b1, b2 = self.betas
         bc1 = 1 - b1**step
@@ -176,6 +192,7 @@ class HostAdam:
 def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
     indices = np.ascontiguousarray(indices, np.int32)
     if _adam is not None:
+        assert buf.flags["C_CONTIGUOUS"], "gather_rows: buf must be C-order"
         out = np.empty((len(indices), buf.shape[1]), np.float32)
         _adam.gather_rows(
             _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
@@ -189,6 +206,7 @@ def scatter_add_rows(buf, rows, indices, accumulate=True):
     indices = np.ascontiguousarray(indices, np.int32)
     rows = np.ascontiguousarray(rows, np.float32)
     if _adam is not None:
+        assert buf.flags["C_CONTIGUOUS"], "scatter_add_rows: buf must be C-order"
         _adam.scatter_add_rows(
             _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
             len(indices), buf.shape[1], int(accumulate),

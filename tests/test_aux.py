@@ -168,6 +168,28 @@ class TestHostAdamMore:
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
         assert (g1 == 0).all() and (g2 == 0).all()
 
+    def test_noncontiguous_grads(self):
+        """The axon TPU client hands back 2-D device arrays as F-ordered
+        zero-copy VIEWS (transposed strides); the native AVX2 kernel indexes
+        raw row-major buffers, so un-normalized views silently garble every
+        multi-column group (observed as a 10.7 dB naive_offload quality
+        collapse). sparse_step must yield identical updates for C-ordered and
+        F-ordered gradient inputs."""
+        n, cols = 96, 3
+        rng = np.random.RandomState(1)
+        g_c = rng.randn(n, cols).astype(np.float32)
+        g_f = np.asfortranarray(g_c)
+        assert not g_f.flags["C_CONTIGUOUS"]
+        lr = np.full(cols, 0.01, np.float32)
+        idx = np.arange(0, n, 2, dtype=np.int32)
+        p1 = rng.randn(n, cols).astype(np.float32)
+        p2 = p1.copy()
+        a1, a2 = HostAdam(n, cols, lr), HostAdam(n, cols, lr)
+        a1.sparse_step(p1, g_c.copy(), idx, grad_scale=0.25, step=1)
+        a2.sparse_step(p2, g_f, idx, grad_scale=0.25, step=1)
+        np.testing.assert_array_equal(p1, p2)
+        assert (g_f[idx] == 0).all()  # version=3 zeroing replayed on views
+
 
 class TestDebugAndCams:
     def test_dump_and_compare(self, tmp_path):

@@ -33,7 +33,7 @@ def main():
         means2d, conics, colors, opac, depths, radii, W, H, bg, 262144
     )
     n = int(n)
-    cap = -(-int(n * 1.25) // (1 << 17)) * (1 << 17)
+    cap = -(-int(n * 1.15) // (1 << 17)) * (1 << 17)
     print(f"tile {R.TILE_W}x{R.TILE_H} K={R.K}: n_isects {n} -> cap {cap}",
           flush=True)
 
