@@ -56,10 +56,13 @@ def main():
     def pad(x):
         return jnp.asarray(np.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)))
 
+    # SH never touches the device: fill the host buffer directly and use
+    # make_context_empty — round-tripping cap x 48 floats through the sandbox
+    # tunnel costs ~40 min at 100M-scale for nothing
     params = G.GaussianParams(
         xyz=pad(xyz), opacity=pad(opacity), log_scale=pad(log_scale),
         quat=pad(quat + 0.01 * rng.normal(size=(n, 4)).astype(np.float32)),
-        sh=pad(sh),
+        sh=jnp.zeros((1, 48), jnp.float32),
     )
     state = G.GaussianState(
         params=params, alive=jnp.asarray(np.arange(cap) < n),
@@ -93,8 +96,8 @@ def main():
     init_config(cfg)
 
     t0 = time.time()
-    ctx = clm_offload.make_context(cfg, state, adam_cfg)
-    state = clm_offload.strip_device_sh(state)
+    ctx = clm_offload.make_context_empty(cfg, cap, adam_cfg)
+    ctx.sh_host[:n] = sh
     opt = init_adam(state.params)
     print(f"make_context {time.time()-t0:.1f} s "
           f"(host buffers {2*cap*48*4/2**30:.2f} GB)", flush=True)
