@@ -68,9 +68,9 @@ def run_child(strategy: str):
         return sum(float(x.reshape(-1)[0]) for x in leaves)
 
     if strategy == "no_offload":
-        def one_batch(s, o, _ctx):
+        def one_batch(s, o, _ctx, cap):
             s, o, out = no_offload.train_step(
-                s, o, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP,
+                s, o, cb, gts, 3, lrs, adam_cfg, bg, W, H, cap,
                 accumulate_stats=False,
             )
             return s, o, _ctx, out
@@ -79,9 +79,9 @@ def run_child(strategy: str):
     elif strategy == "naive_offload":
         ctx = naive_offload.make_context(cfg, state, adam_cfg)
 
-        def one_batch(s, o, c):
+        def one_batch(s, o, c, cap):
             s, _, c, out = naive_offload.train_one_batch(
-                s, None, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP, cfg
+                s, None, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, cap, cfg
             )
             return s, o, c, out
     else:
@@ -89,20 +89,28 @@ def run_child(strategy: str):
         state = clm_offload.strip_device_sh(state)
         opt = init_adam(state.params)
 
-        def one_batch(s, o, c):
+        def one_batch(s, o, c, cap):
             s, o, c, out = clm_offload.train_one_batch(
-                s, o, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP, cfg
+                s, o, c, cb, gts, 3, lrs, adam_cfg, bg, W, H, cap, cfg
             )
             return s, o, c, out
 
-    # warmup: compile + (for offload strategies) first full SH fetch
-    state, opt, ctx, out = one_batch(state, opt, ctx)
+    # warmup: compile + (for offload strategies) first full SH fetch; then
+    # adapt the isect capacity to this scene exactly like the trainer's
+    # steady-state bucketing (train.py round_up(max_isects*1.15, 2**17))
+    isect_cap = ISECT_CAP
+    state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)
+    mi = int(out.max_isects)
+    snug = -(-int(mi * 1.15) // 2**17) * 2**17
+    if snug != isect_cap:
+        isect_cap = snug
+        state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)
     drain(out.losses, state.params.xyz)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, opt, ctx, out = one_batch(state, opt, ctx)
+        state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)
     drain(out.losses, state.params.xyz)
     dt = time.perf_counter() - t0
 
@@ -119,7 +127,7 @@ def run_child(strategy: str):
         try:
             ma = (
                 no_offload.train_step.lower(
-                    state, opt, cb, gts, 3, lrs, adam_cfg, bg, W, H, ISECT_CAP,
+                    state, opt, cb, gts, 3, lrs, adam_cfg, bg, W, H, isect_cap,
                     accumulate_stats=False,
                 )
                 .compile()
@@ -146,6 +154,7 @@ def run_child(strategy: str):
         "hbm_program_gb": prog_gb,
         "host_peak_gb": _host_peak_gb(),
         "n_gaussians": n_gauss,
+        "isect_cap": isect_cap,
     }
     if strategy == "clm_offload":
         # per-gaussian device bytes with SH + moments off-device: 11 attr

@@ -79,6 +79,10 @@ MAX_ALPHA = 0.999
 _MX, _MY, _CA, _CB, _CC, _OP, _R, _G, _B = range(9)
 NGC = 9
 ATTR_ROWS = 16
+# fwd out block rows: 0-3 rgba accumulator, 4 live-chunk count, 5-7 pad
+# (8 sublanes = Mosaic's f32 tile height; one 8-row stream is cheaper than
+# the previous 4-row image stream + separate (8,128) live-count stream)
+OUT_ROWS = 8
 
 
 def _interpret_mode():
@@ -165,7 +169,7 @@ def _chunk_compositing(g, T, done):
     return w, T_excl, keep, T_new, done_new
 
 
-def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, lc_ref,
+def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
                 t_ref, done_ref, *, tile_width, num_tiles):
     i = pl.program_id(0)
     tile = ct[i]
@@ -175,7 +179,7 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, lc_ref,
     def _():
         t_ref[:] = jnp.ones((1, P), jnp.float32)
         done_ref[:] = jnp.zeros((1, P), jnp.float32)
-        out_ref[0] = jnp.zeros((4, P), jnp.float32)
+        out_ref[0] = jnp.zeros((OUT_ROWS, P), jnp.float32)
 
     alldone = jnp.min(done_ref[:]) > 0.5
 
@@ -185,31 +189,28 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, bg, attrs_ref, out_ref, lc_ref,
         g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
         done = done_ref[:] > 0.5
         w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
-        out_ref[0] = out_ref[0] + jax.lax.dot_general(
+        contrib = jax.lax.dot_general(
             g["ctilde"], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (4, P)
-        t_ref[:] = T_new
-        done_ref[:] = done_new.astype(jnp.float32)
-        # record how many chunks this tile actually composited: the backward
-        # compacts its grid to these live prefixes (post-termination chunks
-        # have zero gradient but still cost a block fetch + grid step each).
-        # (8, 128) block: Mosaic's minimum f32 tile for a non-degenerate dim
-        lc_ref[0] = jnp.full((8, 128), (cloc[i] + 1).astype(jnp.float32))
-
-    @pl.when(alive & (clast[i] == 1))
-    def _():
-        T = t_ref[:]
         acc = out_ref[0]
+        # row 4 records how many chunks this tile actually composited: the
+        # backward compacts its grid to these live prefixes (post-termination
+        # chunks have zero gradient but still cost a block fetch + grid step
+        # each). Folding it into the revisited out block instead of a separate
+        # per-tile output removes one whole block stream from the pipeline
+        # (per-grid-step fixed cost is ~0.4 us per stream). The background
+        # fold happens outside the kernel in XLA (rows 0:3 + T_fin*bg).
         out_ref[0] = jnp.concatenate(
             [
-                acc[0:1, :] + T * bg[0],
-                acc[1:2, :] + T * bg[1],
-                acc[2:3, :] + T * bg[2],
-                acc[3:4, :],
+                acc[0:4] + contrib,
+                jnp.full((1, P), (cloc[i] + 1).astype(jnp.float32)),
+                acc[5:OUT_ROWS],
             ],
             axis=0,
         )
+        t_ref[:] = T_new
+        done_ref[:] = done_new.astype(jnp.float32)
 
 
 def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
@@ -387,49 +388,49 @@ def _rasterize_sorted(attrs_rows, plan, meta, background):
 def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
     tw, th, chunk_cap = meta
     num_tiles = tw * th
-    ct, cloc, cslot, cnv, clast, _counts = plan
+    ct, cloc, cslot, cnv, clast, counts = plan
     attrs_b = _attrs_blocks(attrs_rows)
-    bg4 = jnp.concatenate([background, jnp.zeros((1,), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(chunk_cap,),
         in_specs=[
             pl.BlockSpec(
                 (1, ATTR_ROWS, K),
-                lambda i, ct, cl, cs, nv, la, bg: (cs[i], 0, 0),
+                lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0),
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 4, P), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 8, 128), lambda i, ct, cl, cs, nv, la, bg: (ct[i], 0, 0)
-            ),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, OUT_ROWS, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
         ],
     )
 
-    def kern(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref, lc_ref,
+    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, out_ref,
              t_ref, done_ref):
-        _fwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, bg_r, attrs_ref, out_ref,
-                    lc_ref, t_ref, done_ref, tile_width=tw, num_tiles=num_tiles)
+        _fwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, out_ref,
+                    t_ref, done_ref, tile_width=tw, num_tiles=num_tiles)
 
-    out, lc = pl.pallas_call(
+    raw = pl.pallas_call(
         kern,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles + 1, 4, P), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, 8, 128), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, OUT_ROWS, P), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret_mode(),
-    )(ct, cloc, cslot, cnv, clast, bg4, attrs_b)
+    )(ct, cloc, cslot, cnv, clast, attrs_b)
+    # background fold in XLA (was a clast-gated branch per grid step): rows
+    # 0:3 += T_fin * bg with T_fin = 1 - alpha; never-visited tiles hold
+    # garbage but are masked by the callers (counts == 0 / lc_t gating)
+    t_fin = 1.0 - raw[:, 3:4, :]
+    out = jnp.concatenate(
+        [raw[:, 0:3, :] + t_fin * background[None, :, None], raw[:, 3:4, :]],
+        axis=1,
+    )
+    lc = raw[:num_tiles, 4, 0]
     # residual keeps the BLOCK layout so the backward reuses it directly
     # (rebuilding it from attrs_rows doubled the live 3.4M-row buffers)
     return out, (attrs_b, plan, background, out, lc)
@@ -450,7 +451,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
     # dead grid step costs only the bare sequencing overhead (~0.4 us) instead
     # of a full stream step. Live relative order is preserved, so per-tile
     # carry chains (cloc 0..lc-1) replay unchanged.
-    lc_t = jnp.where(counts > 0, lc[:num_tiles, 0, 0].astype(jnp.int32), 0)
+    lc_t = jnp.where(counts > 0, lc.astype(jnp.int32), 0)
     tc = jnp.minimum(ct, num_tiles - 1)
     live = (ct < num_tiles) & (cloc < lc_t[tc])
     dead_key = jnp.logical_not(live).astype(jnp.int32)

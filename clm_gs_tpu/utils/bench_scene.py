@@ -17,8 +17,97 @@ BSZ = 4
 ISECT_CAP = 1835008
 
 
-def make_scene(n: int = N, cap: int = CAP, bsz: int = BSZ, w: int = W, h: int = H):
-    """Returns (state, opt_state, cam_batch, gt_images, lrs, adam_cfg, bg)."""
+def _surface_gaussians(n: int, rng):
+    """Trained-scene-like parameter distributions: gaussians concentrated on
+    opaque surfaces (ground plane + object shells) with pancake shapes aligned
+    to surface normals, plus a low-opacity background shell. Mirrors the
+    statistics of a converged 3DGS scene (bimodal opacity, scales ~ local
+    point spacing) so pixel saturation/termination engages like it does on the
+    reference's own benchmark scenes (trained Mip-360 bicycle) — the random
+    fog scene composites essentially without termination (99.3% of chunks
+    live), which benchmarks the worst case instead of the measured workload.
+    """
+    n_ground = int(n * 0.35)
+    n_obj = int(n * 0.50)
+    n_fog = n - n_ground - n_obj
+
+    # ground plane y = -1, extent 8x8
+    gx = rng.uniform(-4, 4, n_ground)
+    gz = rng.uniform(-4, 4, n_ground)
+    g_xyz = np.stack([gx, np.full(n_ground, -1.0), gz], axis=1)
+    g_normal = np.tile(np.array([[0.0, 1.0, 0.0]]), (n_ground, 1))
+
+    # object shells: points on ellipsoid surfaces
+    n_shapes = 150
+    centers = np.stack(
+        [
+            rng.uniform(-2.5, 2.5, n_shapes),
+            rng.uniform(-1.0, 1.5, n_shapes),
+            rng.uniform(-2.5, 2.5, n_shapes),
+        ],
+        axis=1,
+    )
+    radii = rng.uniform(0.15, 0.8, (n_shapes, 3))
+    which = rng.randint(0, n_shapes, n_obj)
+    u = rng.normal(size=(n_obj, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    o_xyz = centers[which] + u * radii[which]
+    o_normal = u / radii[which]
+    o_normal /= np.linalg.norm(o_normal, axis=1, keepdims=True)
+
+    # background shell (sky/far fluff), low opacity
+    f_dir = rng.normal(size=(n_fog, 3))
+    f_dir /= np.linalg.norm(f_dir, axis=1, keepdims=True)
+    f_xyz = f_dir * rng.uniform(8.0, 14.0, (n_fog, 1))
+    f_normal = -f_dir
+
+    xyz = np.concatenate([g_xyz, o_xyz, f_xyz]).astype(np.float32)
+    normal = np.concatenate([g_normal, o_normal, f_normal]).astype(np.float32)
+
+    # surface splats: tangent scales ~ local spacing (lognormal around 2.5 cm
+    # at 850k points over ~500 units^2 of surface), normal axis 10x thinner
+    n_surf = n_ground + n_obj
+    base = 0.025 * np.exp(0.5 * rng.normal(size=n_surf)).astype(np.float32)
+    log_scale = np.empty((n, 3), np.float32)
+    log_scale[:n_surf, 0] = np.log(base)
+    log_scale[:n_surf, 1] = np.log(base * np.exp(0.3 * rng.normal(size=n_surf)))
+    log_scale[:n_surf, 2] = np.log(0.1 * base)
+    fog_base = 0.3 * np.exp(0.4 * rng.normal(size=(n_fog, 3)))
+    log_scale[n_surf:] = np.log(fog_base).astype(np.float32)
+
+    # quat rotating local z-axis onto the surface normal (half-angle form)
+    z = np.array([0.0, 0.0, 1.0])
+    axis = np.cross(np.tile(z, (n, 1)), normal)
+    s = np.linalg.norm(axis, axis=1)
+    c = normal @ z
+    wq = np.sqrt(np.maximum(0.5 * (1.0 + c), 1e-12))
+    xyzq = axis / np.maximum(s, 1e-12)[:, None] * np.sqrt(
+        np.maximum(0.5 * (1.0 - c), 0.0)
+    )[:, None]
+    quat = np.concatenate([wq[:, None], xyzq], axis=1).astype(np.float32)
+
+    # bimodal opacity: surfaces mostly near-opaque, background faint
+    opacity = np.empty(n, np.float32)
+    opacity[:n_surf] = rng.normal(2.5, 1.2, n_surf)
+    opacity[n_surf:] = rng.normal(-2.0, 1.0, n_fog)
+
+    sh = np.zeros((n, 48), np.float32)
+    sh[:, :3] = rng.uniform(-1, 1, (n, 3))
+    sh[:, 3:] = 0.05 * rng.normal(size=(n, 45)).astype(np.float32)
+    return xyz, log_scale, quat, opacity.astype(np.float32), sh
+
+
+def make_scene(
+    n: int = N, cap: int = CAP, bsz: int = BSZ, w: int = W, h: int = H,
+    kind: str = "trained",
+):
+    """Returns (state, opt_state, cam_batch, gt_images, lrs, adam_cfg, bg).
+
+    kind="trained": surface-concentrated, opacity-bimodal scene matching
+    trained-3DGS statistics (the reference's baseline number is measured on a
+    trained scene). kind="fog": the round-1/2 random-cloud scene (termination-
+    free worst case), kept for cross-round comparability.
+    """
     import jax.numpy as jnp
 
     from clm_gs_tpu.data.cameras import stack_cameras
@@ -27,15 +116,18 @@ def make_scene(n: int = N, cap: int = CAP, bsz: int = BSZ, w: int = W, h: int = 
     from tests.utils3d import make_camera
 
     rng = np.random.RandomState(0)
-    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
-    log_scale = np.full((n, 3), np.log(0.01), np.float32) + 0.3 * rng.normal(
-        size=(n, 3)
-    ).astype(np.float32)
-    quat = rng.normal(size=(n, 4)).astype(np.float32)
-    opacity = rng.uniform(-2.0, 1.0, n).astype(np.float32)
-    sh = np.zeros((n, 48), np.float32)
-    sh[:, :3] = rng.uniform(-1, 1, (n, 3))
-    sh[:, 3:] = 0.05 * rng.normal(size=(n, 45)).astype(np.float32)
+    if kind == "trained":
+        xyz, log_scale, quat, opacity, sh = _surface_gaussians(n, rng)
+    else:
+        xyz = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+        log_scale = np.full((n, 3), np.log(0.01), np.float32) + 0.3 * rng.normal(
+            size=(n, 3)
+        ).astype(np.float32)
+        quat = rng.normal(size=(n, 4)).astype(np.float32)
+        opacity = rng.uniform(-2.0, 1.0, n).astype(np.float32)
+        sh = np.zeros((n, 48), np.float32)
+        sh[:, :3] = rng.uniform(-1, 1, (n, 3))
+        sh[:, 3:] = 0.05 * rng.normal(size=(n, 45)).astype(np.float32)
 
     def pad(x):
         return jnp.asarray(np.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)))
