@@ -134,3 +134,31 @@ def test_mesh_densification(dataset, tmp_path):
     events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
     evals = [e for e in events if e["kind"] == "eval"]
     assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 5 for e in evals)
+
+
+def test_cli_city_run(tmp_path):
+    """End-to-end on a MatrixCity-layout source: detect_scene_type -> 'city',
+    read_city_scene (OpenGL->COLMAP pose conversion, explicit test split,
+    ocean-mask frame filtering), PLY point-cloud init, full training loop."""
+    from clm_gs_tpu.train import main
+    from tests.make_synthetic_colmap import make_city_dataset
+
+    src = make_city_dataset(str(tmp_path / "city"), ocean=True)
+    out = str(tmp_path / "city_out")
+    main([
+        "-s", src, "-m", out, "--clm_offload", "--eval",
+        "--matrixcity_ocean_mask",
+        "--bsz", "4", "--iterations", "8",
+        "--test_iterations", "8", "--save_iterations", "8",
+        "--disable_auto_densification",
+        "--isect_cap", "65536", "--log_interval", "4",
+    ])
+    log = open(os.path.join(out, "python.log")).read()
+    assert "Evaluating test:" in log and "end2end total_time:" in log
+    events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
+    evals = [e for e in events if e["kind"] == "eval"]
+    # poses/intrinsics/init points all correct => oracle images reproduced
+    # well above the noise floor even at 8 iters
+    assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 10 for e in evals)
+    assert os.path.exists(
+        os.path.join(out, "point_cloud", "iteration_8", "point_cloud.ply"))
