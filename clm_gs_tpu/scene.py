@@ -49,6 +49,20 @@ class Scene:
         self.info = info
         self.cameras_extent = info.nerf_normalization["radius"]
 
+        # viewer-compat camera dump (Scene.__init__ writes cameras.json via
+        # camera_to_JSON, reference scene/__init__.py:84-86,
+        # utils/camera_utils.py:362-381: c2w position/rotation + focals)
+        if cfg.model.model_path:
+            import json
+
+            os.makedirs(cfg.model.model_path, exist_ok=True)
+            with open(os.path.join(cfg.model.model_path, "cameras.json"), "w") as f:
+                json.dump(
+                    [camera_json(i, c) for i, c in
+                     enumerate(list(info.test_cameras) + list(info.train_cameras))],
+                    f,
+                )
+
         # deterministic shuffle like Scene.__init__ (seeded in safe_state)
         train = list(info.train_cameras)
         rng = random.Random(cfg.debug.seed)
@@ -123,6 +137,23 @@ class Scene:
         )
         if self.cfg.debug.save_tensors:
             G.save_tensors(self.gaussians, os.path.join(out_dir, "tensors.npz"))
+
+
+def camera_json(idx: int, cam: Camera) -> dict:
+    """camera_to_JSON schema (utils/camera_utils.py:362-381): cam-to-world
+    position/rotation plus pixel focal lengths."""
+    from clm_gs_tpu.data.cameras import fov2focal
+
+    return {
+        "id": idx,
+        "img_name": cam.image_name,
+        "width": int(cam.width),
+        "height": int(cam.height),
+        "position": cam.camera_center.astype(float).tolist(),
+        "rotation": [r.tolist() for r in cam.R.astype(float)],
+        "fy": fov2focal(cam.fovy, cam.height),
+        "fx": fov2focal(cam.fovx, cam.width),
+    }
 
 
 def _find_city_ply(src: str) -> Optional[str]:

@@ -50,6 +50,12 @@ def test_cli_full_run(dataset, tmp_path, strategy):
     ]
     evals = [e for e in events if e["kind"] == "eval"]
     assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 5 for e in evals)
+    # viewer-compat camera dump (reference scene/__init__.py:84-86)
+    cams = json.load(open(os.path.join(out, "cameras.json")))
+    assert len(cams) == 10 and all(
+        set(c) == {"id", "img_name", "width", "height", "position",
+                   "rotation", "fx", "fy"} for c in cams
+    )
     # model artifact with the reference PLY schema
     ply = os.path.join(out, "point_cloud", "iteration_12", "point_cloud.ply")
     assert os.path.exists(ply)
