@@ -36,6 +36,8 @@ class AuxiliaryParams:
     initial_point_cloud_downsampled_ratio: float = 1.0
     load_ply_path: str = ""
     load_pt_path: str = ""
+    # alternative init point cloud for COLMAP scenes (dataset_readers.py:221-225)
+    dense_ply_file: str = ""
     start_checkpoint: str = ""
     auto_start_checkpoint: bool = False
     log_folder: str = "/tmp/clm_gs_tpu"
@@ -121,6 +123,8 @@ class DebugParams:
     save_tensors: bool = False
     seed: int = 0
     drop_initial_3dgs_p: float = 0.0  # randomly drop this fraction of init points
+    # resize-on-resume (arange(n*coeff) % n; general_utils.py:417-452)
+    drop_duplicate_gaussians_coeff: float = 1.0
     stop_update_param_assert: bool = True
 
 

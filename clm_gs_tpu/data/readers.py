@@ -69,7 +69,8 @@ def _load_ply_points(path) -> PointCloud:
 
 
 def read_colmap_scene(
-    path: str, images_dir: str = "images", eval_split: bool = False, llffhold: int = 8
+    path: str, images_dir: str = "images", eval_split: bool = False, llffhold: int = 8,
+    dense_ply_file: str = "",
 ) -> SceneInfo:
     sparse = os.path.join(path, "sparse", "0")
     if not os.path.isdir(sparse):
@@ -115,7 +116,13 @@ def read_colmap_scene(
     ply_path = os.path.join(sparse, "points3D.ply")
     bin_path = os.path.join(sparse, "points3D.bin")
     txt_path = os.path.join(sparse, "points3D.txt")
-    if os.path.exists(bin_path):
+    if dense_ply_file:
+        # --dense_ply_file: denser init cloud than the SfM sparse points
+        # (readColmapSceneInfo, dataset_readers.py:221-225; the rubble4k
+        # release scripts init from a fused MVS PLY this way)
+        pcd = _load_ply_points(dense_ply_file)
+        ply_path = dense_ply_file
+    elif os.path.exists(bin_path):
         xyz, rgb, _ = colmap.read_points3d_binary(bin_path)
         pcd = PointCloud(xyz.astype(np.float32), rgb.astype(np.float32) / 255.0)
     elif os.path.exists(txt_path):
@@ -127,7 +134,8 @@ def read_colmap_scene(
     return SceneInfo(
         train_cameras=train, test_cameras=test, point_cloud=pcd,
         nerf_normalization=get_nerfpp_norm(train or cam_infos),
-        ply_path=bin_path if os.path.exists(bin_path) else ply_path,
+        ply_path=ply_path if dense_ply_file or not os.path.exists(bin_path)
+        else bin_path,
     )
 
 

@@ -301,6 +301,43 @@ def load_ply(path: str, capacity: Optional[int] = None) -> GaussianState:
     )
 
 
+def resize_rows(state: GaussianState, coeff: float) -> GaussianState:
+    """--drop_duplicate_gaussians_coeff analogue (reference
+    utils/general_utils.py:417-452, applied on checkpoint load at :472-475):
+    keep the first int(n*coeff) alive rows modulo n — truncates when
+    coeff < 1, tiles (duplicates) when > 1. Densification stats reset; the
+    caller resets the optimizer like the reference's ``opt_dict = None``.
+    Requires a full (non-SH-stripped) state."""
+    assert state.params.sh.shape[0] == state.capacity, (
+        "resize_rows needs a full checkpoint (SH on device); "
+        "clm mid-run checkpoints strip SH"
+    )
+    d = _compact(state)
+    n = d["xyz"].shape[0]
+    keep = np.arange(int(n * coeff), dtype=np.int64) % max(n, 1)
+    m = len(keep)
+    capacity = next_capacity(m)
+
+    def pad(x):
+        out = np.zeros((capacity,) + x.shape[1:], np.float32)
+        out[:m] = x[keep]
+        return jnp.asarray(out)
+
+    alive = np.zeros(capacity, bool)
+    alive[:m] = True
+    return GaussianState(
+        params=GaussianParams(
+            xyz=pad(d["xyz"]), opacity=pad(d["opacity"]),
+            log_scale=pad(d["log_scale"]), quat=pad(d["quat"]), sh=pad(d["sh"]),
+        ),
+        alive=jnp.asarray(alive),
+        n_alive=jnp.asarray(m, jnp.int32),
+        xyz_grad_accum=jnp.zeros(capacity, jnp.float32),
+        denom=jnp.zeros(capacity, jnp.float32),
+        max_radii2d=jnp.zeros(capacity, jnp.float32),
+    )
+
+
 def save_tensors(state: GaussianState, path: str):
     """.npz analogue of the reference's 5-tensor .pt checkpoint
     (clm_offload/gaussian_model.py:236-243: xyz/opacity/scaling/rotation/

@@ -45,6 +45,7 @@ class Scene:
             info = readers.read_colmap_scene(
                 src, images_dir=cfg.model.images, eval_split=cfg.model.eval,
                 llffhold=cfg.aux.llffhold,
+                dense_ply_file=cfg.aux.dense_ply_file,
             )
         self.info = info
         self.cameras_extent = info.nerf_normalization["radius"]

@@ -107,6 +107,14 @@ def training(cfg: Config):
     if ckpt:
         state, opt_state, rng, start_iter = load_checkpoint(ckpt)
         logger.write(f"Resumed from {ckpt} at iteration {start_iter}\n")
+        if cfg.debug.drop_duplicate_gaussians_coeff != 1.0:
+            # resize-on-resume debug tool (general_utils.py:472-475); the
+            # reference drops opt_dict, i.e. the optimizer restarts cold
+            state = G.resize_rows(state, cfg.debug.drop_duplicate_gaussians_coeff)
+            opt_state = init_adam(state.params)
+            logger.write(
+                f"drop_duplicate_gaussians: resized to {int(state.n_alive)} rows\n"
+            )
 
     strategy_name = cfg.strategy
     strategy = STRATEGIES[strategy_name]

@@ -270,3 +270,35 @@ class TestKNNSmallN:
         pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
         d = np.asarray(knn_mean_sq_dist(pts, k=3))
         np.testing.assert_allclose(d, [1.0, 1.0], rtol=1e-6)
+
+
+class TestResizeRows:
+    def _state(self, n=10):
+        rng = np.random.RandomState(3)
+        from tests.utils3d import random_gaussians
+        from clm_gs_tpu.models.gaussians import create_from_pcd
+
+        xyz, _, _, _, _ = random_gaussians(n, rng)
+        return create_from_pcd(xyz, rng.rand(n, 3).astype(np.float32), capacity=64)
+
+    def test_truncate(self):
+        from clm_gs_tpu.models import gaussians as G
+
+        st = self._state(10)
+        out = G.resize_rows(st, 0.5)
+        assert int(out.n_alive) == 5
+        np.testing.assert_allclose(
+            np.asarray(out.params.xyz)[:5], np.asarray(st.params.xyz)[:5]
+        )
+
+    def test_tile_duplicates(self):
+        from clm_gs_tpu.models import gaussians as G
+
+        st = self._state(10)
+        out = G.resize_rows(st, 1.5)
+        assert int(out.n_alive) == 15
+        x = np.asarray(out.params.xyz)
+        # rows 10..14 repeat rows 0..4 (arange(15) % 10 semantics)
+        np.testing.assert_allclose(x[10:15], x[0:5])
+        # stats reset
+        assert float(np.abs(np.asarray(out.xyz_grad_accum)).max()) == 0.0

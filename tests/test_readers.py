@@ -161,3 +161,17 @@ class TestDetectSceneType:
     def test_colmap(self, tmp_path):
         root = make_dataset(str(tmp_path / "scene"), n_cams=3)
         assert readers.detect_scene_type(root) == "colmap"
+
+
+def test_dense_ply_file_overrides_init_points(tmp_path):
+    """--dense_ply_file replaces the SfM sparse cloud as the init point set
+    (readColmapSceneInfo, reference dataset_readers.py:221-225)."""
+    root = make_dataset(str(tmp_path / "scene"))
+    rng = np.random.RandomState(7)
+    dense = str(tmp_path / "dense.ply")
+    pts = rng.rand(333, 3).astype(np.float32)
+    write_ply_points(dense, pts, rng.rand(333, 3).astype(np.float32))
+    info = readers.read_colmap_scene(root, dense_ply_file=dense)
+    assert len(info.point_cloud.points) == 333
+    np.testing.assert_allclose(info.point_cloud.points, pts, atol=1e-6)
+    assert info.ply_path == dense
