@@ -226,6 +226,14 @@ def init_config(cfg: Config) -> Config:
         cfg.aux.clm_offload = True
     elif n_strategies > 1:
         raise ValueError("exactly one of --no_offload/--naive_offload/--clm_offload")
+    if cfg.aux.dataset_cache_and_stream_mode != "load_from_disk_on_demand":
+        # the reference's other modes cache decoded images in RAM/GPU; the
+        # raw-disk-cache mode is the one its release scripts use and the only
+        # one implemented here — fail loudly instead of silently ignoring
+        raise ValueError(
+            "only dataset_cache_and_stream_mode=load_from_disk_on_demand "
+            f"is supported (got {cfg.aux.dataset_cache_and_stream_mode!r})"
+        )
     cfg.aux.test_iterations = sorted(cfg.aux.test_iterations)
     cfg.aux.save_iterations = sorted(set(cfg.aux.save_iterations))
     if cfg.opt.iterations not in cfg.aux.save_iterations and not cfg.debug.do_not_save:

@@ -98,6 +98,7 @@ class SceneDataset:
         bsz: int,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 1,
     ):
         assert len(cams) > 0
         self.cams = cams
@@ -108,18 +109,24 @@ class SceneDataset:
         self.rng = np.random.RandomState(seed)
         self.epoch = 0
         self._order: List[int] = []
-        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._order_lock = threading.Lock()
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(prefetch, workers))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._producer, daemon=True)
+            for _ in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def _next_indices(self):
         out = []
-        while len(out) < self.bsz:
-            if not self._order:
-                self._order = list(self.rng.permutation(len(self.cams)))
-                self.epoch += 1
-            out.append(self._order.pop())
+        with self._order_lock:
+            while len(out) < self.bsz:
+                if not self._order:
+                    self._order = list(self.rng.permutation(len(self.cams)))
+                    self.epoch += 1
+                out.append(self._order.pop())
         return out
 
     def _producer(self):
@@ -149,7 +156,8 @@ class SceneDataset:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
 
 def iterate_eval(cams: List[Camera], cache_dir: str, width: int, height: int):

@@ -111,9 +111,12 @@ class Scene:
             f"(capacity {self.gaussians.capacity})\n")
 
     def train_dataset(self, bsz: int) -> D.SceneDataset:
+        # --num_workers: extra producer threads like the reference DataLoader's
+        # workers (train.py:157-167; its scripts use 0-1)
         return D.SceneDataset(
             self.train_cameras, self.cfg.aux.decode_dataset_path,
             self.width, self.height, bsz, seed=self.cfg.debug.seed,
+            workers=max(1, self.cfg.aux.num_workers),
         )
 
     def save(self, iteration: int, logger=None):

@@ -41,6 +41,7 @@ from clm_gs_tpu.utils.checkpoint import (
 from clm_gs_tpu.utils.general import (
     check_update_at_this_iter,
     get_expon_lr_func,
+    memory_report,
     next_capacity,
     psnr as psnr_fn,
     round_up,
@@ -218,6 +219,11 @@ def training(cfg: Config):
     profiling = [False]
     e2e.start()
     ema_loss = None
+    frozen_param_sum = (
+        float(jnp.abs(state.params.xyz).sum())
+        if cfg.debug.stop_update_param and cfg.debug.stop_update_param_assert
+        else None
+    )
     iteration = start_iter
     while iteration <= cfg.opt.iterations:
         sh_degree = min((iteration - 1) // 1000, cfg.model.sh_degree)
@@ -284,6 +290,19 @@ def training(cfg: Config):
                 f"iteration[{iteration},{iteration+bsz}) loss: {loss:.6f} "
                 f"ema: {ema_loss:.6f} n3dgs: {int(state.n_alive)}\n"
             )
+            if cfg.bench.check_gpu_memory or cfg.bench.check_cpu_memory:
+                logger.write(
+                    "memory: " + memory_report(
+                        cfg.bench.check_gpu_memory, cfg.bench.check_cpu_memory
+                    ) + "\n"
+                )
+            if cfg.debug.stop_update_param and cfg.debug.stop_update_param_assert:
+                # the reference asserts params stay bit-identical under
+                # --stop_update_param (its gaussian_model update asserts)
+                cur = float(jnp.abs(state.params.xyz).sum())
+                assert cur == frozen_param_sum, (
+                    f"stop_update_param violated: {cur} != {frozen_param_sum}"
+                )
             if strategy_name == "clm_offload" and strategy_ctx.n_batches:
                 nb = strategy_ctx.n_batches
                 trail = strategy_ctx.trailing_s / nb
@@ -450,7 +469,8 @@ def training(cfg: Config):
     if profiling[0]:
         jax.profiler.stop_trace()
     e2e.pause(sync=state.params.xyz)
-    logger.end2end(e2e.elapsed(), cfg.opt.iterations - start_iter + 1)
+    if cfg.bench.end2end_time:
+        logger.end2end(e2e.elapsed(), cfg.opt.iterations - start_iter + 1)
     if timers.enabled:
         logger.write(timers.report() + "\n")
     dataset.close()

@@ -128,6 +128,33 @@ def np_sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def memory_report(check_device: bool = False, check_host: bool = False) -> str:
+    """--check_gpu_memory / --check_cpu_memory analogue (reference
+    utils/general_utils.py:149-241 memory reporters printed at log
+    intervals). Device peak from XLA memory_stats (None on backends that
+    don't report, e.g. this sandbox's axon plugin); host peak RSS from
+    getrusage."""
+    parts = []
+    if check_device:
+        import jax
+
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            parts.append(
+                f"device peak {peak / 2**30:.2f} GB" if peak
+                else "device peak n/a"
+            )
+        except Exception:
+            parts.append("device peak n/a")
+    if check_host:
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+        parts.append(f"host peak rss {rss:.2f} GB")
+    return ", ".join(parts)
+
+
 def drop_duplicate_gaussians(xyz: np.ndarray, coeff: float = 1.0):
     """Debug helper (general_utils.py:417): indices of unique gaussian
     positions after rounding by `coeff` (duplicates from densification)."""
