@@ -49,6 +49,11 @@ def run_child(strategy: str):
     import jax
     import jax.numpy as jnp  # noqa: F401
 
+    # CPU smoke-test hook (env JAX_PLATFORMS=cpu can't be used: it hangs the
+    # axon plugin's init; the post-import config update bypasses it)
+    if os.environ.get("CLMGS_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CLMGS_BENCH_PLATFORM"])
+
     sys.path.insert(0, "/root/repo")
     from clm_gs_tpu.config import Config, init_config
     from clm_gs_tpu.optim import AdamConfig, init_adam
@@ -234,8 +239,11 @@ def main():
 def _tunnel_probe(env, mb: int = 32):
     """Measured host->device GB/s for one mid-size transfer (subprocess so the
     chip claim does not collide with the children)."""
+    plat = os.environ.get("CLMGS_BENCH_PLATFORM")
+    plat_line = f"jax.config.update('jax_platforms', {plat!r})\n" if plat else ""
     code = (
         "import jax, time, numpy as np, jax.numpy as jnp\n"
+        f"{plat_line}"
         f"h = np.random.rand({mb} * 1024 * 256).astype(np.float32)\n"
         "y = jax.device_put(h); jax.block_until_ready(y)\n"
         "h2 = h + 1\n"

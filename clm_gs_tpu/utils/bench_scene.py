@@ -4,17 +4,22 @@ so stage-level profiling measures exactly the benchmarked workload."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-N = 1_000_000
-CAP = 1_048_576
-W, H = 1237, 822
+# env overrides are for CPU smoke tests of bench.py's code paths only; the
+# recorded benchmark always runs the defaults
+N = int(os.environ.get("CLMGS_BENCH_N", 1_000_000))
+CAP = int(os.environ.get("CLMGS_BENCH_CAP", 1_048_576))
+W = int(os.environ.get("CLMGS_BENCH_W", 1237))
+H = int(os.environ.get("CLMGS_BENCH_H", 822))
 BSZ = 4
 # the cap the trainer's adaptive bucketing converges to for this scene:
 # round_up(n_isects * 1.15, 2**17) with n_isects = 1501798 under the
 # opacity-aware tight bboxes + 32x16 rectangular tiles (train.py grows the
 # bucket whenever max_isects > 0.93 * cap)
-ISECT_CAP = 1835008
+ISECT_CAP = int(os.environ.get("CLMGS_BENCH_ISECT", 1835008))
 
 
 def _surface_gaussians(n: int, rng):
