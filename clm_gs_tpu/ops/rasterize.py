@@ -340,6 +340,25 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
     return _gather_attrs(table, aligned, slot_cap), (aligned, table.shape[0])
 
 
+def _pack_bf16_pair(a, b):
+    """Two f32 columns -> one u32 sort payload holding their bf16 roundings
+    (v5e sort cost is per ELEMENT, so halving operand count — not bytes — is
+    what pays)."""
+    ha = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    hb = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (ha.astype(jnp.uint32) << 16) | hb.astype(jnp.uint32)
+
+
+def _unpack_bf16_pair(w):
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
 def _gather_attrs_bwd(slot_cap, res, v_rows):
     from clm_gs_tpu.ops.segreduce import segment_reduce_sorted
 
@@ -353,6 +372,32 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
     # is ~6-10 ms) and no unsort (output lands in id order directly).
     ngc = NGC
     key = jnp.where(aligned.ids >= 0, aligned.ids, jnp.int32(1 << 30))
+    if os.environ.get("CLMGS_PACK_GRADS") == "1":
+        # A/B probe: ride the sort with 8 of the 9 grad columns packed as
+        # bf16 pairs (6 sorted operands instead of 10). Per-instance grads
+        # round to ~3 significant digits BEFORE the per-gaussian f32
+        # reduction — a ~0.4% relative perturbation of individual gradient
+        # terms, far below SGD batch noise, but NOT bit-exact vs the oracle;
+        # keep off unless the measured sort saving justifies a quality A/B.
+        cols = [v_rows[:, j] for j in range(ngc)]
+        packed = tuple(
+            _pack_bf16_pair(cols[j], cols[j + 1]) for j in range(0, 8, 2)
+        )
+        sorted_ops = jax.lax.sort(
+            (key,) + packed + (cols[8],), num_keys=1, is_stable=False
+        )
+        vals = []
+        for w in sorted_ops[1:5]:
+            hi, lo = _unpack_bf16_pair(w)
+            vals += [hi, lo]
+        vals.append(sorted_ops[5])
+        v_table = segment_reduce_sorted(
+            sorted_ops[0], tuple(vals), aligned.counts_orig, n
+        )[:, :ngc]
+        f0 = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), aligned
+        )
+        return v_table, f0
     ops = (key,) + tuple(v_rows[:, j] for j in range(ngc))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
     v_table = segment_reduce_sorted(

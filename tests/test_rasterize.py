@@ -252,3 +252,31 @@ class TestGolden:
             np.save(golden_path, stats)
         golden = np.load(golden_path)
         np.testing.assert_allclose(stats, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_grad_regroup_close_to_exact(monkeypatch):
+    """CLMGS_PACK_GRADS=1 rides the per-gaussian grad-regroup sort with bf16
+    pair-packed payloads (6 sorted operands instead of 10). Gradients must
+    stay within bf16 rounding (~0.4% relative) of the exact path."""
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(seed=5)
+    target = jnp.zeros((3, h, w))
+
+    def loss(m2d, conics, colors, opac):
+        img, _, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=4096
+        )
+        return jnp.sum((img - target) ** 2)
+
+    g_exact = jax.grad(loss, argnums=(0, 1, 2, 3))(m2d, conics, colors, opac)
+    monkeypatch.setenv("CLMGS_PACK_GRADS", "1")
+    jax.clear_caches()  # env is read at trace time
+    g_packed = jax.grad(loss, argnums=(0, 1, 2, 3))(m2d, conics, colors, opac)
+    monkeypatch.delenv("CLMGS_PACK_GRADS")
+    jax.clear_caches()
+    for name, gp, ge in zip(["means2d", "conics", "colors", "opac"],
+                            g_packed, g_exact):
+        gp, ge = np.asarray(gp), np.asarray(ge)
+        scale = max(np.abs(ge).max(), 1e-3)
+        np.testing.assert_allclose(
+            gp / scale, ge / scale, atol=8e-3, err_msg=f"packed grads: {name}"
+        )
