@@ -66,6 +66,56 @@ if _adam is not None:
         _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
     ]
     _adam.gather_rows.argtypes = [_f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int]
+    if not hasattr(_adam, "adam_sparse_step_mt"):
+        # stale .so predating the _mt entry points: force-rebuild and reload
+        try:
+            subprocess.run(
+                ["make", "-B", "-C", _CSRC, "libcpu_adam.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+            _adam = ctypes.CDLL(os.path.join(_CSRC, "libcpu_adam.so"))
+            for fname, argt in (
+                ("adam_sparse_step", [
+                    _f32p, _f32p, _f32p, _f32p, _i32p, ctypes.c_int64,
+                    ctypes.c_int, _f32p, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ]),
+                ("adam_dense_step", [
+                    _f32p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int,
+                    _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_float, ctypes.c_int64,
+                ]),
+                ("scatter_add_rows", [
+                    _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
+                    ctypes.c_int,
+                ]),
+                ("gather_rows",
+                 [_f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int]),
+            ):
+                getattr(_adam, fname).argtypes = argt
+        except Exception:
+            pass
+    if hasattr(_adam, "adam_sparse_step_mt"):
+        _adam.adam_sparse_step_mt.argtypes = (
+            _adam.adam_sparse_step.argtypes + [ctypes.c_int]
+        )
+        _adam.scatter_add_rows_mt.argtypes = (
+            _adam.scatter_add_rows.argtypes + [ctypes.c_int]
+        )
+        _adam.gather_rows_mt.argtypes = (
+            _adam.gather_rows.argtypes + [ctypes.c_int]
+        )
+
+
+def host_threads() -> int:
+    """Worker threads for the native host ops. The streaming Adam/gather/
+    scatter are DRAM-bound; ~3x at 4 threads on this box. Capped below the
+    core count so the dispatch thread keeps a core during overlap
+    (CLMGS_HOST_THREADS overrides)."""
+    env = os.environ.get("CLMGS_HOST_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(4, (os.cpu_count() or 2) - 1))
 
 
 def have_native_tsp() -> bool:
@@ -160,13 +210,22 @@ class HostAdam:
             # views; grad zeroing is replayed on the original if copied.
             assert params.flags["C_CONTIGUOUS"], "params must be the owned host buffer"
             g = np.ascontiguousarray(grads, np.float32)
-            _adam.adam_sparse_step(
-                _ptr(params, _f32p), _ptr(g, _f32p),
-                _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
-                _ptr(indices, _i32p), len(indices), self.cols,
-                _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
-                self.eps, grad_scale, step,
-            )
+            if hasattr(_adam, "adam_sparse_step_mt"):
+                _adam.adam_sparse_step_mt(
+                    _ptr(params, _f32p), _ptr(g, _f32p),
+                    _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
+                    _ptr(indices, _i32p), len(indices), self.cols,
+                    _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
+                    self.eps, grad_scale, step, host_threads(),
+                )
+            else:
+                _adam.adam_sparse_step(
+                    _ptr(params, _f32p), _ptr(g, _f32p),
+                    _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
+                    _ptr(indices, _i32p), len(indices), self.cols,
+                    _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
+                    self.eps, grad_scale, step,
+                )
             if (
                 g is not grads
                 and isinstance(grads, np.ndarray)
@@ -194,10 +253,16 @@ def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
     if _adam is not None:
         assert buf.flags["C_CONTIGUOUS"], "gather_rows: buf must be C-order"
         out = np.empty((len(indices), buf.shape[1]), np.float32)
-        _adam.gather_rows(
-            _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
-            len(indices), buf.shape[1],
-        )
+        if hasattr(_adam, "gather_rows_mt"):
+            _adam.gather_rows_mt(
+                _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
+                len(indices), buf.shape[1], host_threads(),
+            )
+        else:
+            _adam.gather_rows(
+                _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
+                len(indices), buf.shape[1],
+            )
         return out
     return buf[indices]
 
@@ -207,10 +272,18 @@ def scatter_add_rows(buf, rows, indices, accumulate=True):
     rows = np.ascontiguousarray(rows, np.float32)
     if _adam is not None:
         assert buf.flags["C_CONTIGUOUS"], "scatter_add_rows: buf must be C-order"
-        _adam.scatter_add_rows(
-            _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
-            len(indices), buf.shape[1], int(accumulate),
-        )
+        if hasattr(_adam, "scatter_add_rows_mt"):
+            # indices are unique within every call (visible-set / delta rows),
+            # so row-sharded threads never write the same destination
+            _adam.scatter_add_rows_mt(
+                _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
+                len(indices), buf.shape[1], int(accumulate), host_threads(),
+            )
+        else:
+            _adam.scatter_add_rows(
+                _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
+                len(indices), buf.shape[1], int(accumulate),
+            )
         return
     if accumulate:
         np.add.at(buf, indices, rows)

@@ -20,19 +20,40 @@
 
 #include <cmath>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
 
-extern "C" {
+// Run fn(lo, hi) over [0, n) split across `threads` std::threads (the work is
+// DRAM-bandwidth-bound streaming over distinct rows, so plain chunking is the
+// right schedule; callers guarantee row-disjoint chunks — index lists are
+// unique within one call at every call site).
+template <typename F>
+static void parallel_ranges(int64_t n, int threads, F fn) {
+  if (threads <= 1 || n < 4096) {
+    fn((int64_t)0, n);
+    return;
+  }
+  if (threads > 16) threads = 16;
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    pool.emplace_back([=] { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
 
-// Update rows listed in `indices` (n_idx of them). grads rows are zeroed
-// after use. lr_cols is a per-column learning-rate array of length `cols`.
-void adam_sparse_step(float* params, float* grads, float* exp_avg,
-                      float* exp_avg_sq, const int32_t* indices, int64_t n_idx,
-                      int cols, const float* lr_cols, float beta1, float beta2,
-                      float eps, float grad_scale, int64_t step) {
+static void adam_sparse_range(float* params, float* grads, float* exp_avg,
+                              float* exp_avg_sq, const int32_t* indices,
+                              int64_t k0, int64_t k1, int cols,
+                              const float* lr_cols, float beta1, float beta2,
+                              float eps, float grad_scale, int64_t step) {
   const float bc1 = 1.0f - std::pow(beta1, (float)step);
   const float bc2 = 1.0f - std::pow(beta2, (float)step);
   const float inv_bc1 = 1.0f / bc1;
@@ -50,7 +71,7 @@ void adam_sparse_step(float* params, float* grads, float* exp_avg,
   const __m256 vzero = _mm256_setzero_ps();
 #endif
 
-  for (int64_t k = 0; k < n_idx; ++k) {
+  for (int64_t k = k0; k < k1; ++k) {
     const int64_t row = (int64_t)indices[k];
     float* p = params + row * cols;
     float* g = grads + row * cols;
@@ -86,56 +107,107 @@ void adam_sparse_step(float* params, float* grads, float* exp_avg,
   }
 }
 
+extern "C" {
+
+// Update rows listed in `indices` (n_idx of them). grads rows are zeroed
+// after use. lr_cols is a per-column learning-rate array of length `cols`.
+// `threads` > 1 shards the index list across std::threads (indices are
+// unique per call at every call site, so row writes never race).
+void adam_sparse_step_mt(float* params, float* grads, float* exp_avg,
+                         float* exp_avg_sq, const int32_t* indices,
+                         int64_t n_idx, int cols, const float* lr_cols,
+                         float beta1, float beta2, float eps, float grad_scale,
+                         int64_t step, int threads) {
+  parallel_ranges(n_idx, threads, [=](int64_t lo, int64_t hi) {
+    adam_sparse_range(params, grads, exp_avg, exp_avg_sq, indices, lo, hi,
+                      cols, lr_cols, beta1, beta2, eps, grad_scale, step);
+  });
+}
+
+void adam_sparse_step(float* params, float* grads, float* exp_avg,
+                      float* exp_avg_sq, const int32_t* indices, int64_t n_idx,
+                      int cols, const float* lr_cols, float beta1, float beta2,
+                      float eps, float grad_scale, int64_t step) {
+  adam_sparse_step_mt(params, grads, exp_avg, exp_avg_sq, indices, n_idx, cols,
+                      lr_cols, beta1, beta2, eps, grad_scale, step, 1);
+}
+
 // Dense step over rows [0, n).
-void adam_dense_step(float* params, float* grads, float* exp_avg,
-                     float* exp_avg_sq, int64_t n, int cols,
-                     const float* lr_cols, float beta1, float beta2, float eps,
-                     float grad_scale, int64_t step) {
-  // reuse the sparse path with an implicit identity index list
+void adam_dense_step_mt(float* params, float* grads, float* exp_avg,
+                        float* exp_avg_sq, int64_t n, int cols,
+                        const float* lr_cols, float beta1, float beta2,
+                        float eps, float grad_scale, int64_t step,
+                        int threads) {
   const float bc1 = 1.0f - std::pow(beta1, (float)step);
   const float bc2 = 1.0f - std::pow(beta2, (float)step);
   const float inv_bc1 = 1.0f / bc1;
   const float inv_bc2 = 1.0f / bc2;
-  for (int64_t row = 0; row < n; ++row) {
-    float* p = params + row * cols;
-    float* g = grads + row * cols;
-    float* m = exp_avg + row * cols;
-    float* v = exp_avg_sq + row * cols;
-    for (int c = 0; c < cols; ++c) {
-      float gv = g[c] * grad_scale;
-      m[c] = beta1 * m[c] + (1.0f - beta1) * gv;
-      v[c] = beta2 * v[c] + (1.0f - beta2) * gv * gv;
-      p[c] -= lr_cols[c] * (m[c] * inv_bc1) /
-              (std::sqrt(v[c] * inv_bc2) + eps);
-      g[c] = 0.0f;
+  parallel_ranges(n, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t row = lo; row < hi; ++row) {
+      float* p = params + row * cols;
+      float* g = grads + row * cols;
+      float* m = exp_avg + row * cols;
+      float* v = exp_avg_sq + row * cols;
+      for (int c = 0; c < cols; ++c) {
+        float gv = g[c] * grad_scale;
+        m[c] = beta1 * m[c] + (1.0f - beta1) * gv;
+        v[c] = beta2 * v[c] + (1.0f - beta2) * gv * gv;
+        p[c] -= lr_cols[c] * (m[c] * inv_bc1) /
+                (std::sqrt(v[c] * inv_bc2) + eps);
+        g[c] = 0.0f;
+      }
     }
-  }
+  });
+}
+
+void adam_dense_step(float* params, float* grads, float* exp_avg,
+                     float* exp_avg_sq, int64_t n, int cols,
+                     const float* lr_cols, float beta1, float beta2, float eps,
+                     float grad_scale, int64_t step) {
+  adam_dense_step_mt(params, grads, exp_avg, exp_avg_sq, n, cols, lr_cols,
+                     beta1, beta2, eps, grad_scale, step, 1);
 }
 
 // Scatter-add gradient rows into the host grad buffer:
 // buf[indices[k], :] += rows[k, :]   (the send_shs2cpu analogue's host half).
+// MT-safe for unique index lists (true at all call sites).
+void scatter_add_rows_mt(float* buf, const float* rows, const int32_t* indices,
+                         int64_t n_idx, int cols, int accumulate,
+                         int threads) {
+  parallel_ranges(n_idx, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      float* dst = buf + (int64_t)indices[k] * cols;
+      const float* src = rows + k * cols;
+      if (accumulate) {
+        for (int c = 0; c < cols; ++c) dst[c] += src[c];
+      } else {
+        for (int c = 0; c < cols; ++c) dst[c] = src[c];
+      }
+    }
+  });
+}
+
 void scatter_add_rows(float* buf, const float* rows, const int32_t* indices,
                       int64_t n_idx, int cols, int accumulate) {
-  for (int64_t k = 0; k < n_idx; ++k) {
-    float* dst = buf + (int64_t)indices[k] * cols;
-    const float* src = rows + k * cols;
-    if (accumulate) {
-      for (int c = 0; c < cols; ++c) dst[c] += src[c];
-    } else {
-      for (int c = 0; c < cols; ++c) dst[c] = src[c];
-    }
-  }
+  scatter_add_rows_mt(buf, rows, indices, n_idx, cols, accumulate, 1);
 }
 
 // Gather rows from the host param buffer: out[k, :] = buf[indices[k], :]
 // (the send_shs2gpu analogue's host half).
+void gather_rows_mt(const float* buf, float* out, const int32_t* indices,
+                    int64_t n_idx, int cols, int threads) {
+  parallel_ranges(n_idx, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      const float* src = buf + (int64_t)indices[k] * cols;
+      float* dst = out + k * cols;
+      for (int c = 0; c < cols; ++c) dst[c] = src[c];
+    }
+  });
+}
+
 void gather_rows(const float* buf, float* out, const int32_t* indices,
                  int64_t n_idx, int cols) {
-  for (int64_t k = 0; k < n_idx; ++k) {
-    const float* src = buf + (int64_t)indices[k] * cols;
-    float* dst = out + k * cols;
-    for (int c = 0; c < cols; ++c) dst[c] = src[c];
-  }
+  gather_rows_mt(buf, out, indices, n_idx, cols, 1);
 }
 
 }  // extern "C"
