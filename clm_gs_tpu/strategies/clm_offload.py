@@ -204,19 +204,25 @@ def _classify_transition(prev_ids, next_ids, v_cap):
     re-sort like np.intersect1d. Returns padded position arrays
     (pd, pn: v_cap; hn: h_cap; gp: g_cap) plus the raw gp/hn."""
     na, nb = len(prev_ids), len(next_ids)
-    if nb:
-        loc = np.searchsorted(next_ids, prev_ids)
-        locc = np.minimum(loc, nb - 1)
-        common_prev = next_ids[locc] == prev_ids
+    nat = native.classify_sorted(prev_ids, next_ids)
+    if nat is not None:
+        # single-pass C++ merge (~10x the searchsorted merge at 2M rows:
+        # sequential scan vs ~21 cache-hostile binary-search probes/element)
+        pd, pn, gp, hn = nat
     else:
-        loc = np.zeros(na, np.int64)
-        common_prev = np.zeros(na, bool)
-    pd = np.nonzero(common_prev)[0]
-    pn = loc[pd]
-    gp = np.nonzero(~common_prev)[0]
-    in_common_next = np.zeros(nb, bool)
-    in_common_next[pn] = True
-    hn = np.nonzero(~in_common_next)[0]
+        if nb:
+            loc = np.searchsorted(next_ids, prev_ids)
+            locc = np.minimum(loc, nb - 1)
+            common_prev = next_ids[locc] == prev_ids
+        else:
+            loc = np.zeros(na, np.int64)
+            common_prev = np.zeros(na, bool)
+        pd = np.nonzero(common_prev)[0]
+        pn = loc[pd]
+        gp = np.nonzero(~common_prev)[0]
+        in_common_next = np.zeros(nb, bool)
+        in_common_next[pn] = True
+        hn = np.nonzero(~in_common_next)[0]
 
     def pad(x, cap):
         out = np.full(cap, v_cap, np.int32)

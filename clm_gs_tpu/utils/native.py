@@ -95,6 +95,12 @@ if _adam is not None:
                 getattr(_adam, fname).argtypes = argt
         except Exception:
             pass
+    if hasattr(_adam, "classify_sorted"):
+        _adam.classify_sorted.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_int64),
+        ]
     if hasattr(_adam, "adam_sparse_step_mt"):
         _adam.adam_sparse_step_mt.argtypes = (
             _adam.adam_sparse_step.argtypes + [ctypes.c_int]
@@ -265,6 +271,30 @@ def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
             )
         return out
     return buf[indices]
+
+
+def classify_sorted(a: np.ndarray, b: np.ndarray):
+    """Single-pass H/D/G merge of two sorted-unique int64 id lists. Returns
+    (pd, pn, gp, hn) position arrays (see csrc/cpu_adam.cpp), or None when
+    the native lib is unavailable (callers fall back to searchsorted)."""
+    if _adam is None or not hasattr(_adam, "classify_sorted"):
+        return None
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    na, nb = len(a), len(b)
+    pd = np.empty(min(na, nb), np.int32)
+    pn = np.empty(min(na, nb), np.int32)
+    gp = np.empty(na, np.int32)
+    hn = np.empty(nb, np.int32)
+    counts = np.zeros(4, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _adam.classify_sorted(
+        _ptr(a, i64p), na, _ptr(b, i64p), nb,
+        _ptr(pd, _i32p), _ptr(pn, _i32p), _ptr(gp, _i32p), _ptr(hn, _i32p),
+        _ptr(counts, i64p),
+    )
+    nd, ng, nh = int(counts[0]), int(counts[2]), int(counts[3])
+    return pd[:nd], pn[:nd], gp[:ng], hn[:nh]
 
 
 def scatter_add_rows(buf, rows, indices, accumulate=True):

@@ -210,4 +210,37 @@ void gather_rows(const float* buf, float* out, const int32_t* indices,
   gather_rows_mt(buf, out, indices, n_idx, cols, 1);
 }
 
+// H/D/G retention classification for one camera pair: single-pass merge of
+// two sorted-unique int64 id lists (the host half of the reference's
+// nonzero_static retention split, clm_offload/engine.py:568-636; replaces a
+// numpy searchsorted whose ~21 binary-search probes per element are
+// cache-hostile at 2M-row visible sets).
+//   pd[k]: positions in a whose id also appears in b   (D: keep on device)
+//   pn[k]: the matching positions in b
+//   gp[k]: positions in a not in b                     (G: grads to host)
+//   hn[k]: positions in b not in a                     (H: load from host)
+// counts[0..3] = n_pd, n_gp, n_hn (counts[1] unused, kept for alignment).
+void classify_sorted(const int64_t* a, int64_t na, const int64_t* b,
+                     int64_t nb, int32_t* pd, int32_t* pn, int32_t* gp,
+                     int32_t* hn, int64_t* counts) {
+  int64_t i = 0, j = 0, nd = 0, ng = 0, nh = 0;
+  while (i < na && j < nb) {
+    if (a[i] == b[j]) {
+      pd[nd] = (int32_t)i;
+      pn[nd] = (int32_t)j;
+      ++nd; ++i; ++j;
+    } else if (a[i] < b[j]) {
+      gp[ng++] = (int32_t)i++;
+    } else {
+      hn[nh++] = (int32_t)j++;
+    }
+  }
+  while (i < na) gp[ng++] = (int32_t)i++;
+  while (j < nb) hn[nh++] = (int32_t)j++;
+  counts[0] = nd;
+  counts[1] = nd;
+  counts[2] = ng;
+  counts[3] = nh;
+}
+
 }  // extern "C"

@@ -222,3 +222,41 @@ class TestDebugAndCams:
         mini = MiniCam(cam.width, cam.height, cam.fovx, cam.fovy, cam.viewmat)
         np.testing.assert_allclose(mini.K, cam.K, rtol=1e-6)
         np.testing.assert_allclose(mini.camera_center, cam.camera_center, atol=1e-5)
+
+
+def test_native_classify_matches_searchsorted():
+    """csrc classify_sorted must reproduce the numpy searchsorted merge
+    bit-for-bit (H/D/G retention split, clm_offload._classify_transition)."""
+    import numpy as np
+
+    from clm_gs_tpu.utils import native
+
+    if not native.have_native_adam():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(11)
+    for na, nb in [(0, 5), (5, 0), (0, 0), (1000, 1300), (4096, 4096)]:
+        a = np.sort(rng.choice(10_000, size=na, replace=False)).astype(np.int64)
+        b = np.sort(rng.choice(10_000, size=nb, replace=False)).astype(np.int64)
+        out = native.classify_sorted(a, b)
+        assert out is not None
+        pd, pn, gp, hn = out
+        # reference merge
+        if nb:
+            loc = np.searchsorted(b, a)
+            locc = np.minimum(loc, nb - 1)
+            common = b[locc] == a if na else np.zeros(0, bool)
+        else:
+            loc = np.zeros(na, np.int64)
+            common = np.zeros(na, bool)
+        rpd = np.nonzero(common)[0]
+        rpn = loc[rpd]
+        rgp = np.nonzero(~common)[0]
+        mask = np.zeros(nb, bool)
+        mask[rpn] = True
+        rhn = np.nonzero(~mask)[0]
+        np.testing.assert_array_equal(pd, rpd)
+        np.testing.assert_array_equal(pn, rpn)
+        np.testing.assert_array_equal(gp, rgp)
+        np.testing.assert_array_equal(hn, rhn)
