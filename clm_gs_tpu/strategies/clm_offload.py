@@ -145,20 +145,31 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
     last_use = np.full(C, -1, np.int16)
     for pos, cam in enumerate(order):
         v = idx_np[cam][: counts_np[cam]]
-        last_use[v] = pos
+        if not native.stamp_rows(last_use, v, pos):
+            last_use[v] = pos
     # one visible-row scan + a union-sized stable argsort-split instead of a
     # full-capacity nonzero scan per camera: B scans over C rows cost 35 s
     # per batch at C=100M, bsz=64 (measured, tools/stress_host_100m.py);
     # this form is ~2 s. Rows within each finish set stay ascending (vis is
     # ascending and the sort is stable), matching the previous output.
-    vis = np.nonzero(last_use >= 0)[0]
+    vis = native.nonzero_stamp(last_use, None, 0)
+    if vis is None:
+        vis = np.nonzero(last_use >= 0)[0]
     lu = last_use[vis]
-    by_pos = np.argsort(lu, kind="stable")
-    bounds = np.cumsum(np.bincount(lu, minlength=B))[:-1]
+    cs = native.counting_sort_perm(lu, B)
+    if cs is not None:
+        by_pos, bucket_counts = cs
+        bounds = np.cumsum(bucket_counts)[:-1]
+    else:
+        by_pos = np.argsort(lu, kind="stable")
+        bounds = np.cumsum(np.bincount(lu, minlength=B))[:-1]
     finish_sets = [
         p.astype(np.int32) for p in np.split(vis[by_pos], bounds)
     ]
-    never = np.nonzero((last_use == -1) & alive_np)[0].astype(np.int32)
+    never_raw = native.nonzero_stamp(last_use, alive_np, 1)
+    if never_raw is None:
+        never_raw = np.nonzero((last_use == -1) & alive_np)[0]
+    never = never_raw.astype(np.int32)
     return order, finish_sets, never
 
 

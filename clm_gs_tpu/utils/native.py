@@ -95,6 +95,23 @@ if _adam is not None:
                 getattr(_adam, fname).argtypes = argt
         except Exception:
             pass
+    if hasattr(_adam, "stamp_rows_i16"):
+        _adam.stamp_rows_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int16, ctypes.c_int,
+        ]
+    if hasattr(_adam, "counting_sort_perm_counts_i16"):
+        _adam.counting_sort_perm_counts_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
+            _i32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+    if hasattr(_adam, "nonzero_stamp_i16"):
+        _adam.nonzero_stamp_i16.restype = ctypes.c_int64
+        _adam.nonzero_stamp_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
     if hasattr(_adam, "classify_sorted"):
         _adam.classify_sorted.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -271,6 +288,60 @@ def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
             )
         return out
     return buf[indices]
+
+
+def stamp_rows(last_use: np.ndarray, ids: np.ndarray, pos: int) -> bool:
+    """last_use[ids] = pos with MT chunking (ids unique per call). Returns
+    False when the native lib is unavailable."""
+    if _adam is None or not hasattr(_adam, "stamp_rows_i16"):
+        return False
+    assert last_use.dtype == np.int16 and last_use.flags["C_CONTIGUOUS"]
+    ids = np.ascontiguousarray(ids, np.int64)
+    _adam.stamp_rows_i16(
+        _ptr(last_use, ctypes.POINTER(ctypes.c_int16)),
+        _ptr(ids, ctypes.POINTER(ctypes.c_int64)), len(ids), pos,
+        host_threads(),
+    )
+    return True
+
+
+def counting_sort_perm(keys: np.ndarray, n_buckets: int):
+    """Stable argsort for int16 keys in [0, n_buckets) via MT counting sort.
+    Returns (int32 permutation, int64 bucket counts), or None when the native
+    lib is unavailable (callers fall back to np.argsort + np.bincount)."""
+    if _adam is None or not hasattr(_adam, "counting_sort_perm_counts_i16"):
+        return None
+    keys = np.ascontiguousarray(keys, np.int16)
+    perm = np.empty(len(keys), np.int32)
+    counts = np.zeros(n_buckets, np.int64)
+    _adam.counting_sort_perm_counts_i16(
+        _ptr(keys, ctypes.POINTER(ctypes.c_int16)), len(keys), n_buckets,
+        _ptr(perm, _i32p), _ptr(counts, ctypes.POINTER(ctypes.c_int64)),
+        host_threads(),
+    )
+    return perm, counts
+
+
+def nonzero_stamp(last_use: np.ndarray, alive: Optional[np.ndarray],
+                  mode: int):
+    """MT nonzero over the int16 stamp array. mode 0: last_use >= 0 (visible
+    union); mode 1: last_use == -1 and alive (never-visible). Returns the
+    ascending int64 index array, or None when unavailable."""
+    if _adam is None or not hasattr(_adam, "nonzero_stamp_i16"):
+        return None
+    assert last_use.dtype == np.int16 and last_use.flags["C_CONTIGUOUS"]
+    n = len(last_use)
+    if mode == 1:
+        alive = np.ascontiguousarray(alive, np.uint8)
+        ap = _ptr(alive, ctypes.POINTER(ctypes.c_uint8))
+    else:
+        ap = ctypes.POINTER(ctypes.c_uint8)()
+    out = np.empty(n, np.int64)
+    cnt = _adam.nonzero_stamp_i16(
+        _ptr(last_use, ctypes.POINTER(ctypes.c_int16)), ap, n, mode,
+        _ptr(out, ctypes.POINTER(ctypes.c_int64)), host_threads(),
+    )
+    return out[:cnt]
 
 
 def classify_sorted(a: np.ndarray, b: np.ndarray):

@@ -71,7 +71,17 @@ static void adam_sparse_range(float* params, float* grads, float* exp_avg,
   const __m256 vzero = _mm256_setzero_ps();
 #endif
 
+  constexpr int64_t PF = 4;  // 4 buffers x 4 rows ahead = ~16 misses in flight
   for (int64_t k = k0; k < k1; ++k) {
+    if (k + PF < k1) {
+      const int64_t r = (int64_t)indices[k + PF];
+      for (int c = 0; c < cols * 4; c += 64) {
+        __builtin_prefetch((const char*)(params + r * cols) + c, 1, 1);
+        __builtin_prefetch((const char*)(grads + r * cols) + c, 1, 1);
+        __builtin_prefetch((const char*)(exp_avg + r * cols) + c, 1, 1);
+        __builtin_prefetch((const char*)(exp_avg_sq + r * cols) + c, 1, 1);
+      }
+    }
     const int64_t row = (int64_t)indices[k];
     float* p = params + row * cols;
     float* g = grads + row * cols;
@@ -196,8 +206,17 @@ void scatter_add_rows(float* buf, const float* rows, const int32_t* indices,
 // (the send_shs2gpu analogue's host half).
 void gather_rows_mt(const float* buf, float* out, const int32_t* indices,
                     int64_t n_idx, int cols, int threads) {
+  // software-prefetch PF rows ahead: the gather is DRAM-latency-bound
+  // (random ~192 B rows from a multi-GB buffer), so keeping ~8 misses in
+  // flight per thread is the lever, not bandwidth
+  constexpr int64_t PF = 8;
   parallel_ranges(n_idx, threads, [=](int64_t lo, int64_t hi) {
     for (int64_t k = lo; k < hi; ++k) {
+      if (k + PF < hi) {
+        const char* p = (const char*)(buf + (int64_t)indices[k + PF] * cols);
+        for (int c = 0; c < cols * 4; c += 64)
+          __builtin_prefetch(p + c, 0, 1);
+      }
       const float* src = buf + (int64_t)indices[k] * cols;
       float* dst = out + k * cols;
       for (int c = 0; c < cols; ++c) dst[c] = src[c];
@@ -241,6 +260,122 @@ void classify_sorted(const int64_t* a, int64_t na, const int64_t* b,
   counts[1] = nd;
   counts[2] = ng;
   counts[3] = nh;
+}
+
+// last_use[ids[k]] = pos for one camera's visible-id list (the order-encoded
+// bitmap build of order_calculation, engine.py:197-262, re-expressed as a
+// last-wins stamp). Rows are unique within one call, so thread chunks never
+// collide; the caller iterates cameras in order for last-wins semantics.
+void stamp_rows_i16(int16_t* last_use, const int64_t* ids, int64_t n,
+                    int16_t pos, int threads) {
+  parallel_ranges(n, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) last_use[ids[k]] = pos;
+  });
+}
+
+// Stable counting-sort permutation for small-range int16 keys (the per-batch
+// finish-set split: 21.6M-row visible union, <= 64 distinct camera positions
+// — numpy's generic stable argsort costs ~2.5 s there, two streaming passes
+// cost ~0.1 s). MT-stable: per-thread histograms, bucket-major/thread-minor
+// exclusive prefix, then each thread places its contiguous input range at
+// precomputed offsets.
+// MT two-pass nonzero over an int16 stamp array: writes the (ascending)
+// indices where pred holds into `out` and returns the count. mode 0:
+// last_use[i] >= 0 (the visible union); mode 1: last_use[i] == -1 &&
+// alive[i] (the never-visible set). Per-thread counts carve disjoint output
+// ranges, so order stays ascending.
+int64_t nonzero_stamp_i16(const int16_t* last_use, const uint8_t* alive,
+                          int64_t n, int mode, int64_t* out, int threads) {
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  if (n < 65536) threads = 1;
+  const int64_t chunk = (n + threads - 1) / threads;
+  std::vector<int64_t> cnt(threads, 0);
+  auto pred = [&](int64_t i) {
+    return mode == 0 ? (last_use[i] >= 0)
+                     : (last_use[i] == -1 && alive[i] != 0);
+  };
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) {
+      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back([&, t, lo, hi] {
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; ++i) c += pred(i) ? 1 : 0;
+        cnt[t] = c;
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  std::vector<int64_t> off(threads, 0);
+  int64_t total = 0;
+  for (int t = 0; t < threads; ++t) {
+    off[t] = total;
+    total += cnt[t];
+  }
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) {
+      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back([&, t, lo, hi] {
+        int64_t w = off[t];
+        for (int64_t i = lo; i < hi; ++i)
+          if (pred(i)) out[w++] = i;
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  return total;
+}
+
+void counting_sort_perm_counts_i16(const int16_t* keys, int64_t n, int n_buckets,
+                            int32_t* perm, int64_t* bucket_counts,
+                            int threads) {
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  if (n < 65536) threads = 1;
+  const int64_t chunk = (n + threads - 1) / threads;
+  std::vector<std::vector<int64_t>> hist(
+      threads, std::vector<int64_t>(n_buckets, 0));
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) {
+      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back([&, t, lo, hi] {
+        auto& h = hist[t];
+        for (int64_t i = lo; i < hi; ++i) ++h[keys[i]];
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  // exclusive prefix over (bucket, thread) in stable order; also emit the
+  // per-bucket totals (saves the caller a 21.6M-element np.bincount)
+  int64_t run = 0;
+  for (int b = 0; b < n_buckets; ++b) {
+    int64_t btotal = 0;
+    for (int t = 0; t < threads; ++t) {
+      int64_t c = hist[t][b];
+      hist[t][b] = run;
+      run += c;
+      btotal += c;
+    }
+    if (bucket_counts) bucket_counts[b] = btotal;
+  }
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) {
+      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back([&, t, lo, hi] {
+        auto& off = hist[t];
+        for (int64_t i = lo; i < hi; ++i) perm[off[keys[i]]++] = (int32_t)i;
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
 }
 
 }  // extern "C"

@@ -260,3 +260,31 @@ def test_native_classify_matches_searchsorted():
         np.testing.assert_array_equal(pn, rpn)
         np.testing.assert_array_equal(gp, rgp)
         np.testing.assert_array_equal(hn, rhn)
+
+
+def test_native_finish_set_primitives():
+    """counting_sort_perm + nonzero_stamp vs numpy (finish-set fast path)."""
+    import numpy as np
+
+    from clm_gs_tpu.utils import native
+
+    if not native.have_native_adam():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(2)
+    keys = rng.randint(0, 17, 100_001).astype(np.int16)
+    out = native.counting_sort_perm(keys, 17)
+    assert out is not None
+    perm, counts = out
+    np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+    np.testing.assert_array_equal(counts, np.bincount(keys, minlength=17))
+
+    last_use = rng.randint(-1, 8, 300_001).astype(np.int16)
+    alive = rng.rand(300_001) < 0.5
+    vis = native.nonzero_stamp(last_use, None, 0)
+    np.testing.assert_array_equal(vis, np.nonzero(last_use >= 0)[0])
+    nev = native.nonzero_stamp(last_use, alive, 1)
+    np.testing.assert_array_equal(
+        nev, np.nonzero((last_use == -1) & alive)[0]
+    )
