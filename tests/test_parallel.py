@@ -102,3 +102,25 @@ def test_sharded_clm_matches_single_device():
             np.asarray(getattr(s2.params, name)),
             rtol=1e-3, atol=1e-5, err_msg=name,
         )
+
+
+def test_shard_footprint_scales_down():
+    """The per-device footprint of gauss-sharded state must be 1/n_shards of
+    the whole — the HBM-scaling property behind the multi-chip north star
+    (BASELINE: 100M+ Gaussians over a mesh with <16 GB HBM/chip). Checks the
+    actual addressable shard shapes, not just numerics."""
+    state, _ = _scene(seed=7)
+    cap = state.capacity
+    for shape, n_gauss_shards in (("1x4", 4), ("2x2", 2)):
+        mesh = make_mesh(shape, jax.devices()[:4])
+        st = shard_state(state, mesh)
+        for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+            arr = getattr(st.params, name)
+            shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+            assert shard_rows == {cap // n_gauss_shards}, (
+                shape, name, shard_rows, cap
+            )
+        # camera-batch arrays split along data, replicated along gauss
+        db = jax.device_put(np.zeros((4, 8), np.float32), data_sharding(mesh))
+        rows = {s.data.shape[0] for s in db.addressable_shards}
+        assert rows == {4 // (4 // n_gauss_shards)}
