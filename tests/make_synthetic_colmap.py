@@ -156,3 +156,50 @@ def make_city_dataset(root, n_points=120, n_train=6, n_test=2, width=96,
     dc_rgb = np.clip(np.asarray(sh[:, 0, :]) * 0.28209479 + 0.5, 0, 1)
     write_ply_points(os.path.join(src, "point_cloud.ply"), pts, dc_rgb)
     return src
+
+
+def make_blender_dataset(root, n_points=120, n_train=6, n_test=2, width=96,
+                         height=64, seed=0):
+    """Same oracle scene in the Blender/NeRF-synthetic layout
+    (readNerfSyntheticInfo, reference dataset_readers.py:451-493):
+    transforms_{train,test}.json at the root with './split/r_i' file_path
+    entries, plus points3d.ply so init uses known points instead of the
+    100k-random fallback. Returns the source root."""
+    import dataclasses
+    import json
+
+    from clm_gs_tpu.data.cameras import focal2fov, fov2focal
+    from clm_gs_tpu.utils.plyio import write_ply_points
+
+    from tests.utils3d import make_camera
+
+    scene = _make_scene(n_points, seed)
+    rng, xyz, log_scales, quats, opacity_logits, sh = scene
+
+    os.makedirs(root, exist_ok=True)
+    n_all = n_train + n_test
+    for split, idxs in (("train", range(n_train)),
+                        ("test", range(n_train, n_all))):
+        cams, frames, names = [], [], []
+        for j, i in enumerate(idxs):
+            cam = make_camera(uid=i + 1, width=width, height=height,
+                              angle=2 * np.pi * i / n_all)
+            cam = dataclasses.replace(
+                cam, fovy=focal2fov(fov2focal(cam.fovx, width), height))
+            c2w = np.eye(4)
+            c2w[:3, :3] = cam.R
+            c2w[:3, 3] = -cam.R @ cam.T
+            c2w[:3, 1:3] *= -1
+            cams.append(cam)
+            frames.append({"file_path": f"./{split}/r_{j}",
+                           "transform_matrix": c2w.tolist()})
+            names.append(f"r_{j}.png")
+        _render_images(cams, scene, width, height,
+                       os.path.join(root, split), names)
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": cams[0].fovx, "frames": frames}, f)
+
+    pts = xyz + 0.02 * rng.normal(size=xyz.shape).astype(np.float32)
+    dc_rgb = np.clip(np.asarray(sh[:, 0, :]) * 0.28209479 + 0.5, 0, 1)
+    write_ply_points(os.path.join(root, "points3d.ply"), pts, dc_rgb)
+    return root

@@ -168,3 +168,26 @@ def test_cli_city_run(tmp_path):
     assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 10 for e in evals)
     assert os.path.exists(
         os.path.join(out, "point_cloud", "iteration_8", "point_cloud.ply"))
+
+
+def test_cli_blender_run(tmp_path):
+    """End-to-end on a Blender/NeRF-synthetic source: detect_scene_type ->
+    'blender', file_path frame resolution, points3d.ply init, explicit test
+    split, full training loop."""
+    from clm_gs_tpu.train import main
+    from tests.make_synthetic_colmap import make_blender_dataset
+
+    src = make_blender_dataset(str(tmp_path / "lego"))
+    out = str(tmp_path / "blender_out")
+    main([
+        "-s", src, "-m", out, "--no_offload", "--eval",
+        "--bsz", "4", "--iterations", "8",
+        "--test_iterations", "8", "--save_iterations", "8",
+        "--disable_auto_densification",
+        "--isect_cap", "65536", "--log_interval", "4",
+    ])
+    log = open(os.path.join(out, "python.log")).read()
+    assert "Evaluating test:" in log and "end2end total_time:" in log
+    events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
+    evals = [e for e in events if e["kind"] == "eval"]
+    assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 10 for e in evals)
