@@ -163,13 +163,15 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
     else:
         by_pos = np.argsort(lu, kind="stable")
         bounds = np.cumsum(np.bincount(lu, minlength=B))[:-1]
-    finish_sets = [
-        p.astype(np.int32) for p in np.split(vis[by_pos], bounds)
-    ]
+    vs = vis[by_pos]
+    finish_sets = (
+        list(np.split(vs, bounds)) if vs.dtype == np.int32
+        else [p.astype(np.int32) for p in np.split(vs, bounds)]
+    )
     never_raw = native.nonzero_stamp(last_use, alive_np, 1)
     if never_raw is None:
         never_raw = np.nonzero((last_use == -1) & alive_np)[0]
-    never = never_raw.astype(np.int32)
+    never = np.ascontiguousarray(never_raw, np.int32)
     return order, finish_sets, never
 
 

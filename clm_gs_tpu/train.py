@@ -111,6 +111,21 @@ def training(cfg: Config):
         if cfg.debug.drop_duplicate_gaussians_coeff != 1.0:
             # resize-on-resume debug tool (general_utils.py:472-475); the
             # reference drops opt_dict, i.e. the optimizer restarts cold
+            if state.params.sh.shape[0] != state.capacity:
+                # mid-run clm checkpoint: SH lives in strategy_extra.npz.
+                # Pull it back into the state so the resize sees full rows;
+                # the host buffers/moments are rebuilt from the resized state
+                # below (consistent with the optimizer reset).
+                from dataclasses import replace as _dcr
+
+                extra = np.load(os.path.join(ckpt, "strategy_extra.npz"))
+                state = _dcr(
+                    state,
+                    params=_dcr(
+                        state.params,
+                        sh=jnp.asarray(extra["clm.sh_host"], jnp.float32),
+                    ),
+                )
             state = G.resize_rows(state, cfg.debug.drop_duplicate_gaussians_coeff)
             opt_state = init_adam(state.params)
             logger.write(
@@ -186,7 +201,10 @@ def training(cfg: Config):
     if strategy_name == "naive_offload":
         strategy_ctx = strategy.make_context(cfg, state, adam_cfg)
         opt_state = None  # all moments live on the host (HostAdam)
-        if extra_path and os.path.exists(extra_path):
+        # a coeff-resized resume resets the optimizer (reference opt_dict=None)
+        # and changes row count — the saved extras no longer apply
+        if (extra_path and os.path.exists(extra_path)
+                and cfg.debug.drop_duplicate_gaussians_coeff == 1.0):
             strategy_ctx = strategy.restore_extra(
                 strategy_ctx, dict(np.load(extra_path))
             )

@@ -50,84 +50,90 @@ if _tsp is not None:
 _f32p = ctypes.POINTER(ctypes.c_float)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 
+_i16p = ctypes.POINTER(ctypes.c_int16)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+# bumped together with csrc/cpu_adam.cpp's native_abi_version() on every
+# entry-point signature change — a stale .so with same-named symbols but a
+# different ABI would corrupt memory silently
+_ADAM_ABI = 3
+
+
+def _bind_adam(lib) -> bool:
+    """Set argtypes on all entry points; False if the library is missing any
+    symbol or carries a different ABI version."""
+    try:
+        lib.native_abi_version.restype = ctypes.c_int64
+        if lib.native_abi_version() != _ADAM_ABI:
+            return False
+        lib.adam_sparse_step.argtypes = [
+            _f32p, _f32p, _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
+            _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int64,
+        ]
+        lib.adam_sparse_step_mt.argtypes = (
+            lib.adam_sparse_step.argtypes + [ctypes.c_int]
+        )
+        lib.adam_dense_step.argtypes = [
+            _f32p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int, _f32p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int64,
+        ]
+        lib.scatter_add_rows.argtypes = [
+            _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.scatter_add_rows_mt.argtypes = (
+            lib.scatter_add_rows.argtypes + [ctypes.c_int]
+        )
+        lib.gather_rows.argtypes = [
+            _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.gather_rows_mt.argtypes = (
+            lib.gather_rows.argtypes + [ctypes.c_int]
+        )
+        lib.stamp_rows_i16.argtypes = [
+            _i16p, _i32p, ctypes.c_int64, ctypes.c_int16, ctypes.c_int,
+        ]
+        lib.counting_sort_perm_counts_i16.argtypes = [
+            _i16p, ctypes.c_int64, ctypes.c_int, _i32p, _i64p, ctypes.c_int,
+        ]
+        lib.nonzero_stamp_i16.restype = ctypes.c_int64
+        lib.nonzero_stamp_i16.argtypes = [
+            _i16p, _u8p, ctypes.c_int64, ctypes.c_int, _i32p, ctypes.c_int,
+        ]
+        lib.classify_sorted.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _i64p,
+        ]
+        return True
+    except AttributeError:
+        return False
+
+
 _adam = _load("cpu_adam")
-if _adam is not None:
-    _adam.adam_sparse_step.argtypes = [
-        _f32p, _f32p, _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
-        _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int64,
-    ]
-    _adam.adam_dense_step.argtypes = [
-        _f32p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int, _f32p,
-        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int64,
-    ]
-    _adam.scatter_add_rows.argtypes = [
-        _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-    ]
-    _adam.gather_rows.argtypes = [_f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int]
-    if not hasattr(_adam, "adam_sparse_step_mt"):
-        # stale .so predating the _mt entry points: force-rebuild and reload
-        try:
-            subprocess.run(
-                ["make", "-B", "-C", _CSRC, "libcpu_adam.so"],
-                check=True, capture_output=True, timeout=120,
-            )
-            _adam = ctypes.CDLL(os.path.join(_CSRC, "libcpu_adam.so"))
-            for fname, argt in (
-                ("adam_sparse_step", [
-                    _f32p, _f32p, _f32p, _f32p, _i32p, ctypes.c_int64,
-                    ctypes.c_int, _f32p, ctypes.c_float, ctypes.c_float,
-                    ctypes.c_float, ctypes.c_float, ctypes.c_int64,
-                ]),
-                ("adam_dense_step", [
-                    _f32p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int,
-                    _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-                    ctypes.c_float, ctypes.c_int64,
-                ]),
-                ("scatter_add_rows", [
-                    _f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int,
-                    ctypes.c_int,
-                ]),
-                ("gather_rows",
-                 [_f32p, _f32p, _i32p, ctypes.c_int64, ctypes.c_int]),
-            ):
-                getattr(_adam, fname).argtypes = argt
-        except Exception:
-            pass
-    if hasattr(_adam, "stamp_rows_i16"):
-        _adam.stamp_rows_i16.argtypes = [
-            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int16, ctypes.c_int,
-        ]
-    if hasattr(_adam, "counting_sort_perm_counts_i16"):
-        _adam.counting_sort_perm_counts_i16.argtypes = [
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
-            _i32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-        ]
-    if hasattr(_adam, "nonzero_stamp_i16"):
-        _adam.nonzero_stamp_i16.restype = ctypes.c_int64
-        _adam.nonzero_stamp_i16.argtypes = [
-            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int,
-        ]
-    if hasattr(_adam, "classify_sorted"):
-        _adam.classify_sorted.argtypes = [
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            _i32p, _i32p, _i32p, _i32p, ctypes.POINTER(ctypes.c_int64),
-        ]
-    if hasattr(_adam, "adam_sparse_step_mt"):
-        _adam.adam_sparse_step_mt.argtypes = (
-            _adam.adam_sparse_step.argtypes + [ctypes.c_int]
+if _adam is not None and not _bind_adam(_adam):
+    # stale .so from an old working tree: force-rebuild, then load through a
+    # unique temp COPY — dlopen dedups by pathname/inode, so re-CDLL'ing the
+    # same path returns the already-mapped stale library (verified)
+    try:
+        import shutil
+        import tempfile
+
+        subprocess.run(
+            ["make", "-B", "-C", _CSRC, "libcpu_adam.so"],
+            check=True, capture_output=True, timeout=120,
         )
-        _adam.scatter_add_rows_mt.argtypes = (
-            _adam.scatter_add_rows.argtypes + [ctypes.c_int]
+        tmp = tempfile.NamedTemporaryFile(
+            prefix="libcpu_adam_", suffix=".so", delete=False
         )
-        _adam.gather_rows_mt.argtypes = (
-            _adam.gather_rows.argtypes + [ctypes.c_int]
-        )
+        tmp.close()
+        shutil.copy2(os.path.join(_CSRC, "libcpu_adam.so"), tmp.name)
+        _adam = ctypes.CDLL(tmp.name)
+        if not _bind_adam(_adam):
+            _adam = None
+    except Exception:
+        _adam = None
 
 
 def host_threads() -> int:
@@ -233,22 +239,13 @@ class HostAdam:
             # views; grad zeroing is replayed on the original if copied.
             assert params.flags["C_CONTIGUOUS"], "params must be the owned host buffer"
             g = np.ascontiguousarray(grads, np.float32)
-            if hasattr(_adam, "adam_sparse_step_mt"):
-                _adam.adam_sparse_step_mt(
-                    _ptr(params, _f32p), _ptr(g, _f32p),
-                    _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
-                    _ptr(indices, _i32p), len(indices), self.cols,
-                    _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
-                    self.eps, grad_scale, step, host_threads(),
-                )
-            else:
-                _adam.adam_sparse_step(
-                    _ptr(params, _f32p), _ptr(g, _f32p),
-                    _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
-                    _ptr(indices, _i32p), len(indices), self.cols,
-                    _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
-                    self.eps, grad_scale, step,
-                )
+            _adam.adam_sparse_step_mt(
+                _ptr(params, _f32p), _ptr(g, _f32p),
+                _ptr(self.exp_avg, _f32p), _ptr(self.exp_avg_sq, _f32p),
+                _ptr(indices, _i32p), len(indices), self.cols,
+                _ptr(self.lr_cols, _f32p), self.betas[0], self.betas[1],
+                self.eps, grad_scale, step, host_threads(),
+            )
             if (
                 g is not grads
                 and isinstance(grads, np.ndarray)
@@ -276,30 +273,25 @@ def gather_rows(buf: np.ndarray, indices: np.ndarray) -> np.ndarray:
     if _adam is not None:
         assert buf.flags["C_CONTIGUOUS"], "gather_rows: buf must be C-order"
         out = np.empty((len(indices), buf.shape[1]), np.float32)
-        if hasattr(_adam, "gather_rows_mt"):
-            _adam.gather_rows_mt(
-                _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
-                len(indices), buf.shape[1], host_threads(),
-            )
-        else:
-            _adam.gather_rows(
-                _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
-                len(indices), buf.shape[1],
-            )
+        _adam.gather_rows_mt(
+            _ptr(buf, _f32p), _ptr(out, _f32p), _ptr(indices, _i32p),
+            len(indices), buf.shape[1], host_threads(),
+        )
         return out
     return buf[indices]
 
 
 def stamp_rows(last_use: np.ndarray, ids: np.ndarray, pos: int) -> bool:
     """last_use[ids] = pos with MT chunking (ids unique per call). Returns
-    False when the native lib is unavailable."""
-    if _adam is None or not hasattr(_adam, "stamp_rows_i16"):
+    False when the native lib is unavailable. ids are int32 like the rest of
+    the id ABI (capacities < 2^31; the pipeline's visible-id lists are
+    int32 already, so no conversion copies on the hot path)."""
+    if _adam is None:
         return False
     assert last_use.dtype == np.int16 and last_use.flags["C_CONTIGUOUS"]
-    ids = np.ascontiguousarray(ids, np.int64)
+    ids = np.ascontiguousarray(ids, np.int32)
     _adam.stamp_rows_i16(
-        _ptr(last_use, ctypes.POINTER(ctypes.c_int16)),
-        _ptr(ids, ctypes.POINTER(ctypes.c_int64)), len(ids), pos,
+        _ptr(last_use, _i16p), _ptr(ids, _i32p), len(ids), pos,
         host_threads(),
     )
     return True
@@ -309,15 +301,16 @@ def counting_sort_perm(keys: np.ndarray, n_buckets: int):
     """Stable argsort for int16 keys in [0, n_buckets) via MT counting sort.
     Returns (int32 permutation, int64 bucket counts), or None when the native
     lib is unavailable (callers fall back to np.argsort + np.bincount)."""
-    if _adam is None or not hasattr(_adam, "counting_sort_perm_counts_i16"):
+    if _adam is None:
         return None
     keys = np.ascontiguousarray(keys, np.int16)
+    assert len(keys) == 0 or (0 <= keys.min() and keys.max() < n_buckets), \
+        "counting_sort_perm: key out of range (unchecked in the C fast path)"
     perm = np.empty(len(keys), np.int32)
     counts = np.zeros(n_buckets, np.int64)
     _adam.counting_sort_perm_counts_i16(
-        _ptr(keys, ctypes.POINTER(ctypes.c_int16)), len(keys), n_buckets,
-        _ptr(perm, _i32p), _ptr(counts, ctypes.POINTER(ctypes.c_int64)),
-        host_threads(),
+        _ptr(keys, _i16p), len(keys), n_buckets,
+        _ptr(perm, _i32p), _ptr(counts, _i64p), host_threads(),
     )
     return perm, counts
 
@@ -326,43 +319,43 @@ def nonzero_stamp(last_use: np.ndarray, alive: Optional[np.ndarray],
                   mode: int):
     """MT nonzero over the int16 stamp array. mode 0: last_use >= 0 (visible
     union); mode 1: last_use == -1 and alive (never-visible). Returns the
-    ascending int64 index array, or None when unavailable."""
-    if _adam is None or not hasattr(_adam, "nonzero_stamp_i16"):
+    ascending int32 index array, or None when unavailable."""
+    if _adam is None:
         return None
     assert last_use.dtype == np.int16 and last_use.flags["C_CONTIGUOUS"]
     n = len(last_use)
     if mode == 1:
         alive = np.ascontiguousarray(alive, np.uint8)
-        ap = _ptr(alive, ctypes.POINTER(ctypes.c_uint8))
+        ap = _ptr(alive, _u8p)
     else:
-        ap = ctypes.POINTER(ctypes.c_uint8)()
-    out = np.empty(n, np.int64)
+        ap = _u8p()
+    out = np.empty(n, np.int32)
     cnt = _adam.nonzero_stamp_i16(
-        _ptr(last_use, ctypes.POINTER(ctypes.c_int16)), ap, n, mode,
-        _ptr(out, ctypes.POINTER(ctypes.c_int64)), host_threads(),
+        _ptr(last_use, _i16p), ap, n, mode, _ptr(out, _i32p), host_threads(),
     )
     return out[:cnt]
 
 
 def classify_sorted(a: np.ndarray, b: np.ndarray):
-    """Single-pass H/D/G merge of two sorted-unique int64 id lists. Returns
-    (pd, pn, gp, hn) position arrays (see csrc/cpu_adam.cpp), or None when
-    the native lib is unavailable (callers fall back to searchsorted)."""
-    if _adam is None or not hasattr(_adam, "classify_sorted"):
+    """Single-pass H/D/G merge of two sorted-unique int32 id lists (the
+    pipeline's visible-id lists are int32 — jnp.nonzero output — so the hot
+    path never copies). Returns (pd, pn, gp, hn) position arrays (see
+    csrc/cpu_adam.cpp), or None when the native lib is unavailable (callers
+    fall back to searchsorted)."""
+    if _adam is None:
         return None
-    a = np.ascontiguousarray(a, np.int64)
-    b = np.ascontiguousarray(b, np.int64)
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
     na, nb = len(a), len(b)
     pd = np.empty(min(na, nb), np.int32)
     pn = np.empty(min(na, nb), np.int32)
     gp = np.empty(na, np.int32)
     hn = np.empty(nb, np.int32)
     counts = np.zeros(4, np.int64)
-    i64p = ctypes.POINTER(ctypes.c_int64)
     _adam.classify_sorted(
-        _ptr(a, i64p), na, _ptr(b, i64p), nb,
+        _ptr(a, _i32p), na, _ptr(b, _i32p), nb,
         _ptr(pd, _i32p), _ptr(pn, _i32p), _ptr(gp, _i32p), _ptr(hn, _i32p),
-        _ptr(counts, i64p),
+        _ptr(counts, _i64p),
     )
     nd, ng, nh = int(counts[0]), int(counts[2]), int(counts[3])
     return pd[:nd], pn[:nd], gp[:ng], hn[:nh]
@@ -373,18 +366,12 @@ def scatter_add_rows(buf, rows, indices, accumulate=True):
     rows = np.ascontiguousarray(rows, np.float32)
     if _adam is not None:
         assert buf.flags["C_CONTIGUOUS"], "scatter_add_rows: buf must be C-order"
-        if hasattr(_adam, "scatter_add_rows_mt"):
-            # indices are unique within every call (visible-set / delta rows),
-            # so row-sharded threads never write the same destination
-            _adam.scatter_add_rows_mt(
-                _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
-                len(indices), buf.shape[1], int(accumulate), host_threads(),
-            )
-        else:
-            _adam.scatter_add_rows(
-                _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
-                len(indices), buf.shape[1], int(accumulate),
-            )
+        # indices are unique within every call (visible-set / delta rows),
+        # so row-sharded threads never write the same destination
+        _adam.scatter_add_rows_mt(
+            _ptr(buf, _f32p), _ptr(rows, _f32p), _ptr(indices, _i32p),
+            len(indices), buf.shape[1], int(accumulate), host_threads(),
+        )
         return
     if accumulate:
         np.add.at(buf, indices, rows)

@@ -49,6 +49,27 @@ static void parallel_ranges(int64_t n, int threads, F fn) {
   for (auto& th : pool) th.join();
 }
 
+// Like parallel_ranges but hands the callback its thread slot (t, lo, hi)
+// with a FIXED chunking shared by every call at the same (n, threads) — the
+// two-pass count/place algorithms below depend on both passes seeing
+// identical per-thread ranges, so the chunking lives in exactly one place.
+template <typename F>
+static int parallel_slots(int64_t n, int threads, F fn) {
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  if (n < 65536) threads = 1;
+  const int64_t chunk = (n + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    pool.emplace_back([=] { fn(t, lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+  return threads;
+}
+
 static void adam_sparse_range(float* params, float* grads, float* exp_avg,
                               float* exp_avg_sq, const int32_t* indices,
                               int64_t k0, int64_t k1, int cols,
@@ -118,6 +139,11 @@ static void adam_sparse_range(float* params, float* grads, float* exp_avg,
 }
 
 extern "C" {
+
+// Bumped on any signature change of the entry points below; the Python
+// binding refuses a library whose version does not match (a stale .so with
+// same-named symbols but a different ABI would corrupt memory silently).
+int64_t native_abi_version() { return 3; }
 
 // Update rows listed in `indices` (n_idx of them). grads rows are zeroed
 // after use. lr_cols is a per-column learning-rate array of length `cols`.
@@ -239,7 +265,7 @@ void gather_rows(const float* buf, float* out, const int32_t* indices,
 //   gp[k]: positions in a not in b                     (G: grads to host)
 //   hn[k]: positions in b not in a                     (H: load from host)
 // counts[0..3] = n_pd, n_gp, n_hn (counts[1] unused, kept for alignment).
-void classify_sorted(const int64_t* a, int64_t na, const int64_t* b,
+void classify_sorted(const int32_t* a, int64_t na, const int32_t* b,
                      int64_t nb, int32_t* pd, int32_t* pn, int32_t* gp,
                      int32_t* hn, int64_t* counts) {
   int64_t i = 0, j = 0, nd = 0, ng = 0, nh = 0;
@@ -266,97 +292,66 @@ void classify_sorted(const int64_t* a, int64_t na, const int64_t* b,
 // bitmap build of order_calculation, engine.py:197-262, re-expressed as a
 // last-wins stamp). Rows are unique within one call, so thread chunks never
 // collide; the caller iterates cameras in order for last-wins semantics.
-void stamp_rows_i16(int16_t* last_use, const int64_t* ids, int64_t n,
+void stamp_rows_i16(int16_t* last_use, const int32_t* ids, int64_t n,
                     int16_t pos, int threads) {
   parallel_ranges(n, threads, [=](int64_t lo, int64_t hi) {
     for (int64_t k = lo; k < hi; ++k) last_use[ids[k]] = pos;
   });
 }
 
-// Stable counting-sort permutation for small-range int16 keys (the per-batch
-// finish-set split: 21.6M-row visible union, <= 64 distinct camera positions
-// — numpy's generic stable argsort costs ~2.5 s there, two streaming passes
-// cost ~0.1 s). MT-stable: per-thread histograms, bucket-major/thread-minor
-// exclusive prefix, then each thread places its contiguous input range at
-// precomputed offsets.
 // MT two-pass nonzero over an int16 stamp array: writes the (ascending)
 // indices where pred holds into `out` and returns the count. mode 0:
 // last_use[i] >= 0 (the visible union); mode 1: last_use[i] == -1 &&
 // alive[i] (the never-visible set). Per-thread counts carve disjoint output
 // ranges, so order stays ascending.
 int64_t nonzero_stamp_i16(const int16_t* last_use, const uint8_t* alive,
-                          int64_t n, int mode, int64_t* out, int threads) {
-  if (threads < 1) threads = 1;
-  if (threads > 16) threads = 16;
-  if (n < 65536) threads = 1;
-  const int64_t chunk = (n + threads - 1) / threads;
-  std::vector<int64_t> cnt(threads, 0);
+                          int64_t n, int mode, int32_t* out, int threads) {
   auto pred = [&](int64_t i) {
     return mode == 0 ? (last_use[i] >= 0)
                      : (last_use[i] == -1 && alive[i] != 0);
   };
-  {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < threads; ++t) {
-      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
-      if (lo >= hi) break;
-      pool.emplace_back([&, t, lo, hi] {
-        int64_t c = 0;
-        for (int64_t i = lo; i < hi; ++i) c += pred(i) ? 1 : 0;
-        cnt[t] = c;
-      });
-    }
-    for (auto& th : pool) th.join();
-  }
-  std::vector<int64_t> off(threads, 0);
+  std::vector<int64_t> cnt(16, 0);
+  parallel_slots(n, threads, [&](int t, int64_t lo, int64_t hi) {
+    int64_t c = 0;
+    for (int64_t i = lo; i < hi; ++i) c += pred(i) ? 1 : 0;
+    cnt[t] = c;
+  });
+  std::vector<int64_t> off(16, 0);
   int64_t total = 0;
-  for (int t = 0; t < threads; ++t) {
+  for (int t = 0; t < 16; ++t) {
     off[t] = total;
     total += cnt[t];
   }
-  {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < threads; ++t) {
-      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
-      if (lo >= hi) break;
-      pool.emplace_back([&, t, lo, hi] {
-        int64_t w = off[t];
-        for (int64_t i = lo; i < hi; ++i)
-          if (pred(i)) out[w++] = i;
-      });
-    }
-    for (auto& th : pool) th.join();
-  }
+  parallel_slots(n, threads, [&](int t, int64_t lo, int64_t hi) {
+    int64_t w = off[t];
+    for (int64_t i = lo; i < hi; ++i)
+      if (pred(i)) out[w++] = (int32_t)i;
+  });
   return total;
 }
 
-void counting_sort_perm_counts_i16(const int16_t* keys, int64_t n, int n_buckets,
-                            int32_t* perm, int64_t* bucket_counts,
-                            int threads) {
-  if (threads < 1) threads = 1;
-  if (threads > 16) threads = 16;
-  if (n < 65536) threads = 1;
-  const int64_t chunk = (n + threads - 1) / threads;
+// Stable counting-sort permutation for small-range int16 keys (the per-batch
+// finish-set split: 21.6M-row visible union, <= 64 distinct camera positions
+// — numpy's generic stable argsort costs ~250 ms there, two streaming passes
+// cost ~25 ms). MT-stable: per-thread histograms, bucket-major/thread-minor
+// exclusive prefix, then each thread places its contiguous input range at
+// precomputed offsets. Keys MUST lie in [0, n_buckets) — the Python wrapper
+// asserts this (unchecked here for speed).
+void counting_sort_perm_counts_i16(const int16_t* keys, int64_t n,
+                                   int n_buckets, int32_t* perm,
+                                   int64_t* bucket_counts, int threads) {
   std::vector<std::vector<int64_t>> hist(
-      threads, std::vector<int64_t>(n_buckets, 0));
-  {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < threads; ++t) {
-      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
-      if (lo >= hi) break;
-      pool.emplace_back([&, t, lo, hi] {
-        auto& h = hist[t];
-        for (int64_t i = lo; i < hi; ++i) ++h[keys[i]];
-      });
-    }
-    for (auto& th : pool) th.join();
-  }
+      16, std::vector<int64_t>(n_buckets, 0));
+  parallel_slots(n, threads, [&](int t, int64_t lo, int64_t hi) {
+    auto& h = hist[t];
+    for (int64_t i = lo; i < hi; ++i) ++h[keys[i]];
+  });
   // exclusive prefix over (bucket, thread) in stable order; also emit the
   // per-bucket totals (saves the caller a 21.6M-element np.bincount)
   int64_t run = 0;
   for (int b = 0; b < n_buckets; ++b) {
     int64_t btotal = 0;
-    for (int t = 0; t < threads; ++t) {
+    for (int t = 0; t < 16; ++t) {
       int64_t c = hist[t][b];
       hist[t][b] = run;
       run += c;
@@ -364,18 +359,10 @@ void counting_sort_perm_counts_i16(const int16_t* keys, int64_t n, int n_buckets
     }
     if (bucket_counts) bucket_counts[b] = btotal;
   }
-  {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < threads; ++t) {
-      int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
-      if (lo >= hi) break;
-      pool.emplace_back([&, t, lo, hi] {
-        auto& off = hist[t];
-        for (int64_t i = lo; i < hi; ++i) perm[off[keys[i]]++] = (int32_t)i;
-      });
-    }
-    for (auto& th : pool) th.join();
-  }
+  parallel_slots(n, threads, [&](int t, int64_t lo, int64_t hi) {
+    auto& off = hist[t];
+    for (int64_t i = lo; i < hi; ++i) perm[off[keys[i]]++] = (int32_t)i;
+  });
 }
 
 }  // extern "C"

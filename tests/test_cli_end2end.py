@@ -191,3 +191,32 @@ def test_cli_blender_run(tmp_path):
     events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
     evals = [e for e in events if e["kind"] == "eval"]
     assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 10 for e in evals)
+
+
+def test_resize_on_resume_clm(dataset, tmp_path):
+    """--drop_duplicate_gaussians_coeff on a mid-run clm checkpoint: SH is
+    stripped in chkpnt.npz, so the resize must re-materialize it from
+    strategy_extra.npz before selecting rows (reference applies the coeff on
+    any checkpoint load, general_utils.py:472-475)."""
+    out = str(tmp_path / "clm_resize")
+    _run(
+        dataset, out, "clm_offload", iters=8,
+        extra=["--checkpoint_iterations", "4", "--do_not_save",
+               "--disable_auto_densification"],
+    )
+    ckpt_dir = os.path.join(out, "checkpoints")
+    ck = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[0])
+
+    out2 = str(tmp_path / "clm_resize_resume")
+    from clm_gs_tpu.train import main
+
+    main([
+        "-s", dataset, "-m", out2, "--clm_offload", "--bsz", "4",
+        "--iterations", "8", "--start_checkpoint", ck,
+        "--drop_duplicate_gaussians_coeff", "1.5",
+        "--isect_cap", "65536", "--do_not_save",
+        "--disable_auto_densification",
+    ])
+    log = open(os.path.join(out2, "python.log")).read()
+    assert "drop_duplicate_gaussians: resized to 180 rows" in log
+    assert "end2end total_time:" in log
