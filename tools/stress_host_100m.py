@@ -45,7 +45,8 @@ def main():
     # share ~80% of rows (the retention-friendly regime the TSP produces)
     rng = np.random.RandomState(0)
     stride = max(1, (n - v) // max(1, bsz - 1) // 5)
-    idx = [np.arange(i * stride, i * stride + v, dtype=np.int64)
+    # int32 like production (visible-id lists come from jnp.nonzero)
+    idx = [np.arange(i * stride, i * stride + v, dtype=np.int32)
            for i in range(bsz)]
     counts = np.asarray([len(x) for x in idx])
     alive = np.zeros(n, bool)
