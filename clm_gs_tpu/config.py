@@ -48,12 +48,18 @@ class AuxiliaryParams:
     checkpoint_iterations: List[int] = field(default_factory=list)
     matrixcity_ocean_mask: bool = False
     num_save_images_during_eval: int = 0
-    # TPU-ignored CUDA knobs kept for script compatibility:
+    # TPU-ignored CUDA/torch knobs kept for script compatibility:
     comm_stream_priority: int = -1
     grid_size_H: int = 32
     grid_size_D: int = 128
     reorder_by_min_sparsity_at_end: bool = True
     gpu: int = 0
+    # torch-DataLoader knobs (arguments/__init__.py:115,230): our loader is a
+    # prefetching thread pool (num_workers) over the raw predecode cache
+    multiprocesses_image_loading: bool = False
+    sharing_strategy: str = "default"
+    # image-load timing (cameras.py:69-78) is the enable_timer `data_next` key
+    time_image_loading: bool = False
 
 
 @dataclass
@@ -65,11 +71,17 @@ class ModelParams:
     images: str = "images"
     white_background: bool = False
     eval: bool = False
+    # declared-but-unused in the reference as well (arguments/__init__.py:123,276)
+    load_ply_max: int = 1_000_000
+    reinit_ply: bool = False
 
 
 @dataclass
 class PipelineParams:
     debug: bool = False
+    # packed (nnz-list) projection (arguments/__init__.py:169): our culling is
+    # a dense radius mask over fixed-capacity buffers — no packed mode on TPU
+    packed: bool = False
 
 
 @dataclass
@@ -111,6 +123,13 @@ class BenchmarkParams:
     end2end_time: bool = True
     check_gpu_memory: bool = False
     check_cpu_memory: bool = False
+    # log the clm overlap meter (host work / trailing / comm-hidden) every
+    # batch instead of every log_interval (engine.py:888-917 analogue)
+    log_cpu_adam_trailing_overhead: bool = False
+    # CUDA-memory debug knobs; TPU analogues are --check_gpu_memory (live/peak
+    # bytes via memory_stats) and --profile (jax.profiler HBM timeline)
+    log_memory_summary: bool = False
+    reset_each_iter: bool = False
 
 
 @dataclass
@@ -126,6 +145,18 @@ class DebugParams:
     # resize-on-resume (arange(n*coeff) % n; general_utils.py:417-452)
     drop_duplicate_gaussians_coeff: float = 1.0
     stop_update_param_assert: bool = True
+    # NaN/Inf tripwire (train.py:878 --detect_anomaly analogue): jax_debug_nans
+    # re-runs the offending op un-jitted and raises at the source.
+    detect_anomaly: bool = False
+    # declared-but-unused in the reference as well (arguments/__init__.py:151,234)
+    debug_from: int = -1
+    exact_filter: bool = True
+    # CUDA memory-history snapshots (train.py:210-217); use --profile on TPU
+    trace_cuda_mem: bool = False
+    # reference profiler window flags — aliases of --profile{,_start_iter,_end_iter}
+    nsys_profile: bool = False
+    nsys_profile_start_iter: int = 1
+    nsys_profile_end_iter: int = 1_000_000
 
 
 @dataclass
@@ -234,6 +265,11 @@ def init_config(cfg: Config) -> Config:
             "only dataset_cache_and_stream_mode=load_from_disk_on_demand "
             f"is supported (got {cfg.aux.dataset_cache_and_stream_mode!r})"
         )
+    if cfg.debug.nsys_profile:
+        # reference profiler flags alias the jax.profiler window
+        cfg.debug.profile = True
+        cfg.debug.profile_start_iter = cfg.debug.nsys_profile_start_iter
+        cfg.debug.profile_end_iter = cfg.debug.nsys_profile_end_iter
     cfg.aux.test_iterations = sorted(cfg.aux.test_iterations)
     cfg.aux.save_iterations = sorted(set(cfg.aux.save_iterations))
     if cfg.opt.iterations not in cfg.aux.save_iterations and not cfg.debug.do_not_save:

@@ -94,6 +94,33 @@ def look_at_camera(pos, target, up=(0.0, -1.0, 0.0)):
     return vm.astype(np.float32)
 
 
+def save_topdown_view(state, path, camera_centers=None, max_points=200_000,
+                      seed=0):
+    """Top-down point-cloud visualization with optional camera/trajectory
+    overlay (render_bigcity_images.py:271-637 analogue)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = np.asarray(state.params.xyz)[np.asarray(state.alive)]
+    if len(pts) > max_points:
+        pts = pts[np.random.RandomState(seed).choice(len(pts), max_points)]
+    fig, ax = plt.subplots(figsize=(10, 10))
+    ax.scatter(pts[:, 0], pts[:, 2], s=0.2, c=pts[:, 1], cmap="viridis",
+               alpha=0.5, linewidths=0)
+    if camera_centers is not None:
+        cc = np.asarray(camera_centers)
+        ax.plot(cc[:, 0], cc[:, 2], "r.-", markersize=3, linewidth=0.5,
+                label="trajectory")
+        ax.legend()
+    ax.set_aspect("equal")
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("clm_gs_tpu trajectory renderer")
     ap.add_argument(
@@ -113,6 +140,10 @@ def main(argv=None):
     ap.add_argument("--isect_cap", type=int, default=4 << 20)
     ap.add_argument("--mp4", default="")
     ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument(
+        "--topdown", default="",
+        help="also write a top-down point-cloud + trajectory PNG here",
+    )
     ap.add_argument("--no_offload", action="store_true")
     ap.add_argument("--naive_offload", action="store_true")
     ap.add_argument("--clm_offload", action="store_true")
@@ -172,6 +203,13 @@ def main(argv=None):
     positions = generate_orbit_trajectory(centers, args.num_frames)
     target = centers.mean(axis=0)
 
+    if args.topdown:
+        try:
+            save_topdown_view(state, args.topdown, camera_centers=positions)
+            print(f"wrote {args.topdown}", file=sys.stderr)
+        except Exception as e:  # matplotlib optional
+            print(f"topdown view unavailable: {e}", file=sys.stderr)
+
     fov = math.radians(args.fov_deg)
     fovy = 2 * math.atan(math.tan(fov / 2) * args.height / args.width)
     K = jnp.asarray(intrinsics_from_fov(fov, fovy, args.width, args.height))
@@ -228,30 +266,3 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
-
-
-def save_topdown_view(state, path, camera_centers=None, max_points=200_000,
-                      seed=0):
-    """Top-down point-cloud visualization with optional camera positions
-    (render_bigcity_images.py:271-637 analogue)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    pts = np.asarray(state.params.xyz)[np.asarray(state.alive)]
-    if len(pts) > max_points:
-        pts = pts[np.random.RandomState(seed).choice(len(pts), max_points)]
-    fig, ax = plt.subplots(figsize=(10, 10))
-    ax.scatter(pts[:, 0], pts[:, 2], s=0.2, c=pts[:, 1], cmap="viridis",
-               alpha=0.5, linewidths=0)
-    if camera_centers is not None:
-        cc = np.asarray(camera_centers)
-        ax.plot(cc[:, 0], cc[:, 2], "r.-", markersize=3, linewidth=0.5,
-                label="cameras")
-        ax.legend()
-    ax.set_aspect("equal")
-    ax.set_xlabel("x")
-    ax.set_ylabel("z")
-    fig.savefig(path, dpi=120, bbox_inches="tight")
-    plt.close(fig)

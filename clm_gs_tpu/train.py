@@ -321,16 +321,20 @@ def training(cfg: Config):
                 assert cur == frozen_param_sum, (
                     f"stop_update_param violated: {cur} != {frozen_param_sum}"
                 )
-            if strategy_name == "clm_offload" and strategy_ctx.n_batches:
-                nb = strategy_ctx.n_batches
-                trail = strategy_ctx.trailing_s / nb
-                work = strategy_ctx.host_work_s / nb
-                hidden = max(0.0, 1.0 - trail / work) if work > 0 else 1.0
-                logger.write(
-                    f"clm overlap: host work {work*1e3:.1f} ms/batch, "
-                    f"trailing {trail*1e3:.1f} ms/batch, "
-                    f"comm-hidden {hidden*100:.0f}%\n"
-                )
+        at_log = (iteration - 1) % cfg.aux.log_interval < bsz
+        if (
+            strategy_name == "clm_offload" and strategy_ctx.n_batches
+            and (at_log or cfg.bench.log_cpu_adam_trailing_overhead)
+        ):
+            nb = strategy_ctx.n_batches
+            trail = strategy_ctx.trailing_s / nb
+            work = strategy_ctx.host_work_s / nb
+            hidden = max(0.0, 1.0 - trail / work) if work > 0 else 1.0
+            logger.write(
+                f"clm overlap: host work {work*1e3:.1f} ms/batch, "
+                f"trailing {trail*1e3:.1f} ms/batch, "
+                f"comm-hidden {hidden*100:.0f}%\n"
+            )
 
         # adaptive isect capacity (bucketed growth, recompile on change).
         # Keep the margin tight: binning/gather/kernel grids all scale with the
@@ -604,6 +608,8 @@ def _save_eval_image(cfg, iteration, split, cam, img, gt):
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.debug.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     np.random.seed(cfg.debug.seed)
     training(cfg)
 

@@ -220,3 +220,38 @@ def test_resize_on_resume_clm(dataset, tmp_path):
     log = open(os.path.join(out2, "python.log")).read()
     assert "drop_duplicate_gaussians: resized to 180 rows" in log
     assert "end2end total_time:" in log
+
+
+def test_render_trajectory_cli(tmp_path):
+    """The trajectory renderer end to end: load a PLY, generate an orbit
+    trajectory, render frames, write the top-down view and an MP4
+    (render_bigcity_images.py:753-1017 surface)."""
+    from clm_gs_tpu.models import gaussians as G
+    from clm_gs_tpu.render_trajectory import main as traj_main
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(300, 3).astype(np.float32)
+    state = G.create_from_pcd(pts, rng.rand(300, 3).astype(np.float32))
+    ply = str(tmp_path / "model.ply")
+    G.save_ply(state, ply)
+
+    out = tmp_path / "frames"
+    mp4 = str(tmp_path / "traj.mp4")
+    td = str(tmp_path / "topdown.png")
+    traj_main([
+        "--load_ply_path", ply, "--out_dir", str(out),
+        "--num_frames", "2", "--width", "64", "--height", "64",
+        "--isect_cap", "16384", "--no_offload",
+        "--mp4", mp4, "--topdown", td,
+    ])
+    frames = sorted(os.listdir(out))
+    assert frames == ["frame_00000.png", "frame_00001.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(out / frames[0]))
+    assert img.shape == (64, 64, 3)
+    assert os.path.exists(td)
+    # mp4 writing is best-effort (imageio/ffmpeg optional) — only assert when
+    # the file was produced
+    if os.path.exists(mp4):
+        assert os.path.getsize(mp4) > 0
