@@ -109,33 +109,69 @@ def _cum_incl(x, op, identity):
 
 
 def _pixel_coords(t, tile_width):
+    """Global pixel centers (pxf, pyf) plus tile-local centers and the tile
+    origin — the MXU-geometry path works in tile-local coordinates to keep
+    the expanded bilinear form's terms small (see _chunk_geometry)."""
     ty = t // tile_width
     tx = jax.lax.rem(t, tile_width)
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    pxf = (tx * TILE_W).astype(jnp.float32) + (
-        jax.lax.rem(idx, TILE_W).astype(jnp.float32) + 0.5
-    )
-    pyf = (ty * TILE_H).astype(jnp.float32) + (
-        (idx // TILE_W).astype(jnp.float32) + 0.5
-    )
-    return pxf, pyf
+    pxl = jax.lax.rem(idx, TILE_W).astype(jnp.float32) + 0.5
+    pyl = (idx // TILE_W).astype(jnp.float32) + 0.5
+    ox = (tx * TILE_W).astype(jnp.float32)
+    oy = (ty * TILE_H).astype(jnp.float32)
+    return pxl + ox, pyl + oy, pxl, pyl, ox, oy
 
 
-def _chunk_geometry(buf_t, pxf, pyf, n):
+def _mxu_geom():
+    return os.environ.get("CLMGS_MXU_GEOM") == "1"  # read at trace time
+
+
+def _chunk_geometry(coords, buf_t, n):
     """Shared fwd/bwd per-chunk alpha math.
 
-    buf_t: (K, ATTR_ROWS) chunk attributes (already transposed).
-    n: number of valid rows. Returns dict of (K, P) / (K, 1) arrays.
+    coords: _pixel_coords output. buf_t: (K, ATTR_ROWS) chunk attributes
+    (already transposed). n: number of valid rows. Returns dict of
+    (K, P) / (K, 1) arrays.
+
+    CLMGS_MXU_GEOM=1 rides the MXU: sigma(p) is a rank-6 bilinear form
+    sigma = U(K,8) @ V(8,P) with V the pixel monomials [1, x, y, x^2, xy,
+    y^2] in TILE-LOCAL coordinates (x,y in [0, TILE_W/H] and means centered
+    on the tile origin keep the expanded form's terms ~O(ln 255) so the f32
+    cancellation error stays ~1e-4 of sigma) — replacing ~10 (K,P) VPU ops
+    with one matmul. Not bit-exact vs the direct dx/dy form (different fp
+    association); off by default pending a chip A/B + quality check.
     """
+    pxf, pyf, pxl, pyl, ox, oy = coords
     mx = buf_t[:, _MX : _MX + 1]
     my = buf_t[:, _MY : _MY + 1]
     ca = buf_t[:, _CA : _CA + 1]
     cb = buf_t[:, _CB : _CB + 1]
     cc = buf_t[:, _CC : _CC + 1]
     op = buf_t[:, _OP : _OP + 1]
-    dx = pxf - mx  # (K, P)
-    dy = pyf - my
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    if _mxu_geom():
+        mxc = mx - ox  # tile-local mean (K, 1)
+        myc = my - oy
+        dx = pxl - mxc  # == pxf - mx up to one fp rounding
+        dy = pyl - myc
+        q0 = 0.5 * (ca * mxc * mxc + cc * myc * myc) + cb * mxc * myc
+        U = jnp.concatenate(
+            [q0, -(ca * mxc + cb * myc), -(cc * myc + cb * mxc),
+             0.5 * ca, cb, 0.5 * cc, jnp.zeros((K, 2), jnp.float32)],
+            axis=1,
+        )  # (K, 8)
+        V = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl, pxl * pyl,
+             pyl * pyl, jnp.zeros((2, P), jnp.float32)],
+            axis=0,
+        )  # (8, P)
+        sigma = jax.lax.dot_general(
+            U, V, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mx, my = mxc, myc  # bwd moment contractions use local coords
+    else:
+        dx = pxf - mx  # (K, P)
+        dy = pyf - my
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     vis = jnp.exp(-sigma)
     ga = op * vis
     alpha = jnp.minimum(MAX_ALPHA, ga)
@@ -144,6 +180,7 @@ def _chunk_geometry(buf_t, pxf, pyf, n):
     a = jnp.where(ok, alpha, 0.0)
     return dict(
         dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, vis=vis, ga=ga, a=a, ok=ok,
+        mx=mx, my=my,
         ctilde=jnp.concatenate(
             [buf_t[:, _R : _B + 1], jnp.ones((K, 1), jnp.float32)], axis=1
         ),
@@ -157,7 +194,11 @@ def _chunk_compositing(g, T, done):
     cp_incl = _cum_incl(om, jnp.multiply, 1.0)
     T_excl = T * _shift_down(cp_incl, 1, 1.0)  # (K, P)
     viol = (a > 0) & (T_excl * om <= T_EPS)
-    dead = _cum_incl(viol.astype(jnp.float32), jnp.add, 0.0) > 0
+    # dead_k = any viol at j <= k == (k >= first violating row): a single
+    # min-reduction instead of a second log2(K)-round cumulative scan
+    row = jax.lax.broadcasted_iota(jnp.int32, viol.shape, 0)
+    first_viol = jnp.min(jnp.where(viol, row, K), axis=0, keepdims=True)
+    dead = row >= first_viol
     keep = jnp.logical_not(dead) & jnp.logical_not(done)
     w = jnp.where(keep, a * T_excl, 0.0)
     # Product over the kept prefix: cp_incl is non-increasing in k (om <= 1),
@@ -185,8 +226,8 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
 
     @pl.when(alive & jnp.logical_not(alldone))
     def _():
-        pxf, pyf = _pixel_coords(tile, tile_width)
-        g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
+        coords = _pixel_coords(tile, tile_width)
+        g = _chunk_geometry(coords, jnp.transpose(attrs_ref[0], (1, 0)), cnv[i])
         done = done_ref[:] > 0.5
         w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
         contrib = jax.lax.dot_general(
@@ -235,7 +276,7 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
 
     @pl.when(run)
     def _():
-        pxf, pyf = _pixel_coords(tile, tile_width)
+        coords = _pixel_coords(tile, tile_width)
         # (5, P) block: rows 0-3 the output cotangent, row 4 the precomputed
         # <v4, fwd_total> contraction (folding it into one block stream saves
         # a whole per-grid-step input pipeline vs a separate residual block —
@@ -243,7 +284,7 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
         v4 = v_ref[0, 0:4]
         d_tot = v_ref[0, 4:5]  # (1, P)
         T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
-        g = _chunk_geometry(jnp.transpose(attrs_ref[0], (1, 0)), pxf, pyf, cnv[i])
+        g = _chunk_geometry(coords, jnp.transpose(attrs_ref[0], (1, 0)), cnv[i])
         w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
         # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
@@ -266,11 +307,44 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
             preferred_element_type=jnp.float32,
         )  # (K, 3)
         v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
-        v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
-        v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
-        v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
-        v_mx = -jnp.sum((g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True)
-        v_my = -jnp.sum((g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True)
+        if _mxu_geom():
+            # conic/mean grads via pixel-monomial moments: one MXU matmul
+            # S = v_sigma @ [1, x, y, x^2, xy, y^2]^T, then per-row column
+            # arithmetic (dx = x - mx with tile-local x and mx, so e.g.
+            # sum dx^2 vs = S[x^2] - 2 mx S[x] + mx^2 S[1]) — replaces five
+            # (K, P) multiply+reduce chains
+            _, _, pxl, pyl, _, _ = coords
+            V6 = jnp.concatenate(
+                [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl,
+                 pxl * pyl, pyl * pyl, jnp.zeros((2, P), jnp.float32)],
+                axis=0,
+            )  # (8, P)
+            S = jax.lax.dot_general(
+                v_sigma, V6, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, 8): [s0, sx, sy, sxx, sxy, syy, 0, 0]
+            mx, my = g["mx"], g["my"]
+            s0 = S[:, 0:1]
+            sx = S[:, 1:2] - mx * s0   # sum dx * vs
+            sy = S[:, 2:3] - my * s0   # sum dy * vs
+            sxx = S[:, 3:4] - 2.0 * mx * S[:, 1:2] + mx * mx * s0
+            sxy = S[:, 4:5] - mx * S[:, 2:3] - my * S[:, 1:2] + mx * my * s0
+            syy = S[:, 5:6] - 2.0 * my * S[:, 2:3] + my * my * s0
+            v_ca = 0.5 * sxx
+            v_cb = sxy
+            v_cc = 0.5 * syy
+            v_mx = -(g["ca"] * sx + g["cb"] * sy)
+            v_my = -(g["cc"] * sy + g["cb"] * sx)
+        else:
+            v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
+            v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
+            v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
+            v_mx = -jnp.sum(
+                (g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True
+            )
+            v_my = -jnp.sum(
+                (g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True
+            )
 
         gbuf = jnp.concatenate(
             [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,

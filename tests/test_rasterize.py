@@ -280,3 +280,40 @@ def test_packed_grad_regroup_close_to_exact(monkeypatch):
         np.testing.assert_allclose(
             gp / scale, ge / scale, atol=8e-3, err_msg=f"packed grads: {name}"
         )
+
+
+def test_mxu_geom_close_to_exact(monkeypatch):
+    """CLMGS_MXU_GEOM=1 computes sigma as a tile-local rank-6 bilinear form on
+    the MXU and the conic/mean gradients via pixel-monomial moments. Forward
+    image and gradients must stay within f32-reassociation tolerance of the
+    direct dx/dy path."""
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(seed=7)
+    target = jnp.zeros((3, h, w))
+
+    def loss(m2d, conics, colors, opac):
+        img, _, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=4096
+        )
+        return jnp.sum((img - target) ** 2), img
+
+    (l_e, img_e), g_exact = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.setenv("CLMGS_MXU_GEOM", "1")
+    jax.clear_caches()  # env is read at trace time
+    (l_m, img_m), g_mxu = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.delenv("CLMGS_MXU_GEOM")
+    jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(img_m), np.asarray(img_e), atol=2e-4,
+        err_msg="mxu-geom forward image",
+    )
+    for name, gm, ge in zip(["means2d", "conics", "colors", "opac"],
+                            g_mxu, g_exact):
+        gm, ge = np.asarray(gm), np.asarray(ge)
+        scale = max(np.abs(ge).max(), 1e-3)
+        np.testing.assert_allclose(
+            gm / scale, ge / scale, atol=2e-3, err_msg=f"mxu-geom grads: {name}"
+        )

@@ -27,6 +27,8 @@ CONFIGS = [
     ("k128", {"CLMGS_CHUNK_K": "128"}),
     ("k512", {"CLMGS_CHUNK_K": "512"}),
     ("pack+k512", {"CLMGS_PACK_GRADS": "1", "CLMGS_CHUNK_K": "512"}),
+    ("mxu_geom", {"CLMGS_MXU_GEOM": "1"}),
+    ("mxu+pack", {"CLMGS_MXU_GEOM": "1", "CLMGS_PACK_GRADS": "1"}),
 ]
 
 
