@@ -686,12 +686,22 @@ def rasterize(
         jax.lax.stop_gradient(opacities),
         jax.lax.stop_gradient(radii),
     )
+    # exact per-tile ellipse culling (A/B gate): instances whose in-tile max
+    # alpha can't reach the kernel's 1/255 threshold become dummies — output
+    # identical to ~1 ulp, fewer compositing chunk steps (see isect_tiles_aligned)
+    cull = None
+    if os.environ.get("CLMGS_TILE_CULL") == "1":
+        cull = (
+            jax.lax.stop_gradient(conics),
+            jax.lax.stop_gradient(opacities),
+        )
     aligned = isect_tiles_aligned(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(radii),
         jax.lax.stop_gradient(depths),
         (TILE_W, TILE_H), tw, th, cap_round, ALIGN,
         extents=ext,
+        cull=cull,
     )
     starts, counts, n_isects = aligned.starts, aligned.counts, aligned.n_isects
 

@@ -101,6 +101,46 @@ def _tile_wh(tile_size):
     return int(tile_size), int(tile_size)
 
 
+def _f2i(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+# fp slack on the per-tile min-sigma test: drop an instance only when every
+# pixel of the tile is at least this far past the kernel's alpha threshold
+# (alpha < exp(-margin)/255), so reassociation noise in the analytic minimum
+# can never drop a pixel the compositing kernel would have kept.
+_CULL_MARGIN = 1e-2
+
+
+def _tile_min_sigma(lx0, lx1, ly0, ly1, ca, cb, cc):
+    """Minimum of sigma(dx, dy) = 0.5(ca dx^2 + cc dy^2) + cb dx dy over the
+    rectangle [lx0,lx1] x [ly0,ly1] (mean-relative pixel bounds).
+
+    The only stationary point of the quadratic is (0,0); when the mean lies
+    outside the rectangle the minimum is on the boundary: per edge the 1-D
+    restriction's clamped vertex, plus the 4 corners (which dominate when a
+    degenerate conic makes an edge restriction concave)."""
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    ca_s = jnp.where(jnp.abs(ca) > 1e-12, ca, 1e-12)
+    cc_s = jnp.where(jnp.abs(cc) > 1e-12, cc, 1e-12)
+    m = jnp.minimum
+    s = q(lx0, jnp.clip(-cb * lx0 / cc_s, ly0, ly1))
+    s = m(s, q(lx1, jnp.clip(-cb * lx1 / cc_s, ly0, ly1)))
+    s = m(s, q(jnp.clip(-cb * ly0 / ca_s, lx0, lx1), ly0))
+    s = m(s, q(jnp.clip(-cb * ly1 / ca_s, lx0, lx1), ly1))
+    s = m(s, m(q(lx0, ly0), q(lx0, ly1)))
+    s = m(s, m(q(lx1, ly0), q(lx1, ly1)))
+    inside = (lx0 <= 0) & (lx1 >= 0) & (ly0 <= 0) & (ly1 >= 0)
+    return jnp.where(inside, 0.0, s)
+
+
 def _depth_key(depths, valid):
     """Monotone int32 sort key for positive camera-space depths (projection
     culls z <= near, so visible depths are positive and their IEEE-754 bit
@@ -248,6 +288,7 @@ def isect_tiles_aligned(
     isect_cap: int,
     align: int,
     extents=None,
+    cull=None,
 ):
     """Binning straight into the K-aligned per-tile layout the rasterizer
     consumes: instead of sorting into contiguous ranges and then permuting
@@ -256,6 +297,17 @@ def isect_tiles_aligned(
     already rounded up to `align` slots (reals first, depth-ordered; dummies
     carry id -1). Returns (ids (isect_cap + align*num_tiles,), starts
     (num_tiles+1,), counts (num_tiles,), n_isects).
+
+    cull: optional (conics (N,3), opacities (N,)) enabling the exact per-tile
+    ellipse test (gsplat bins the plain bbox; FlashGS/StopThePop-style tile
+    culling): an instance whose analytic in-tile max alpha stays below the
+    compositing kernel's 1/255 threshold is demoted to an in-tile dummy —
+    same segment layout (starts stay bbox-sized so the buffer/overflow
+    semantics don't change), but per-tile/per-gaussian counts shrink to the
+    kept instances, so compositing chunk steps and backward segment work
+    drop with output identical up to chunk-reduction reassociation (~1 ulp). The conic/mean/opacity needed by the
+    test ride the depth sort and the expansion forward-fill as bitcast
+    payload channels (post-expansion row gathers are ~10x costlier).
     """
     num_tiles = tile_width * tile_height
     n = means2d.shape[0]
@@ -268,10 +320,16 @@ def isect_tiles_aligned(
     valid_g = (radii > 0) & (rx > 0) & (ry > 0)
     cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
     d_key = _depth_key(depths, valid_g)
-    _, order, packed_geo, counts_g = jax.lax.sort(
-        (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre),
-        num_keys=1, is_stable=True,
-    )
+    pre_ops = (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre)
+    if cull is not None:
+        conics, opacities = cull
+        t_sup = jnp.log(255.0 * jnp.maximum(opacities, 1e-12))
+        pre_ops = pre_ops + (
+            _f2i(means2d[:, 0]), _f2i(means2d[:, 1]), _f2i(conics[:, 0]),
+            _f2i(conics[:, 1]), _f2i(conics[:, 2]), _f2i(t_sup),
+        )
+    sorted_ops = jax.lax.sort(pre_ops, num_keys=1, is_stable=True)
+    order, packed_geo, counts_g = sorted_ops[1:4]
     cum = jnp.cumsum(counts_g)
     n_isects = cum[-1]
     starts_g = cum - counts_g
@@ -282,9 +340,10 @@ def isect_tiles_aligned(
     def scat(src):
         return jnp.zeros(isect_cap, jnp.int32).at[dst].set(src, mode="drop")
 
-    geo_f, starts_f, orig_f = _forward_fill(
-        (scat(packed_geo), scat(starts_g), scat(order))
+    fill_in = (scat(packed_geo), scat(starts_g), scat(order)) + tuple(
+        scat(c) for c in sorted_ops[4:]
     )
+    geo_f, starts_f, orig_f, *cull_f = _forward_fill(fill_in)
     valid = slots < n_isects
     local = slots - starts_f
     w = jnp.maximum(geo_f & 0x1FF, 1)
@@ -292,6 +351,17 @@ def isect_tiles_aligned(
     tx = (geo_f >> 18) + local % w
     tile = jnp.where(valid, ty * tile_width + tx, num_tiles)
     orig = jnp.where(valid, orig_f, -1)
+
+    keep = None
+    if cull is not None:
+        tsx, tsy = _tile_wh(tile_size)
+        mx, my, ca, cb, cc, ts = (_i2f(c) for c in cull_f)
+        # pixel-center bounds of the tile, mean-relative
+        lx0 = tx.astype(jnp.float32) * tsx + 0.5 - mx
+        ly0 = ty.astype(jnp.float32) * tsy + 0.5 - my
+        smin = _tile_min_sigma(lx0, lx0 + (tsx - 1), ly0, ly0 + (tsy - 1),
+                               ca, cb, cc)
+        keep = smin <= ts + _CULL_MARGIN
 
     # Per-tile counts. The common path avoids a 2M+-element scatter-add
     # (~18 ms at bench scale — XLA:TPU scatters are near-serial) by counting
@@ -339,13 +409,53 @@ def isect_tiles_aligned(
     dvalid = (dslots < dcum[-1]) & (dtile_f > 0)
     dummy_tile = jnp.where(dvalid, dtile_f - 1, num_tiles)
 
-    # stable sort: reals (earlier positions) precede dummies within a tile.
-    keys = jnp.concatenate([tile, dummy_tile])
-    payload = jnp.concatenate([orig, jnp.full(dcap, -1, jnp.int32)])
-    _, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+    if cull is None:
+        # stable sort: reals (earlier positions) precede dummies within a tile.
+        keys = jnp.concatenate([tile, dummy_tile])
+        payload = jnp.concatenate([orig, jnp.full(dcap, -1, jnp.int32)])
+        _, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+        return AlignedIsect(
+            ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
+            counts_orig=cnt_pre,
+        )
+
+    # Culling: kept reals key 2*tile, culled reals join the dummies at
+    # 2*tile + 1 (id -1) — the segment layout (starts, sized from the bbox
+    # counts above) is unchanged, but within each segment the kept reals are
+    # compacted to the front in depth order.
+    culled = valid & jnp.logical_not(keep)
+    keys = jnp.concatenate(
+        [
+            jnp.where(valid, tile * 2 + culled.astype(jnp.int32),
+                      2 * num_tiles + 1),
+            jnp.where(dvalid, dummy_tile * 2 + 1, 2 * num_tiles + 1),
+        ]
+    )
+    payload = jnp.concatenate(
+        [jnp.where(culled, -1, orig), jnp.full(dcap, -1, jnp.int32)]
+    )
+    keys_sorted, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+
+    # exact kept counts per tile from the sorted keys (fence differences)
+    pos = jnp.searchsorted(
+        keys_sorted, jnp.arange(2 * num_tiles + 1, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
+    kept_t = pos[1:2 * num_tiles + 1:2] - pos[0:2 * num_tiles:2]
+
+    # kept counts per gaussian (the backward's segment fences): segment sums
+    # of the keep indicator over each gaussian's contiguous expansion range,
+    # un-permuted back to original id order with one small sort
+    k01 = (valid & keep).astype(jnp.int32)
+    cpad = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(k01)])
+    lim = jnp.int32(isect_cap)
+    kept_depth = (
+        cpad[jnp.minimum(cum, lim)] - cpad[jnp.minimum(starts_g, lim)]
+    )
+    _, kept_orig = jax.lax.sort((order, kept_depth), num_keys=1)
     return AlignedIsect(
-        ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
-        counts_orig=cnt_pre,
+        ids=ids, starts=starts, counts=kept_t, n_isects=n_isects,
+        counts_orig=kept_orig,
     )
 
 

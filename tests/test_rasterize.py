@@ -317,3 +317,85 @@ def test_mxu_geom_close_to_exact(monkeypatch):
         np.testing.assert_allclose(
             gm / scale, ge / scale, atol=2e-3, err_msg=f"mxu-geom grads: {name}"
         )
+
+
+def test_tile_cull_bit_exact(monkeypatch):
+    """CLMGS_TILE_CULL=1 demotes instances whose in-tile max alpha is below
+    the kernel's 1/255 threshold to dummies. Those rows contribute exactly
+    zero to compositing (alpha == 0 => om == 1.0) and are grad_ok-masked in
+    the backward; the only numeric effect is reassociation inside the chunk
+    reduction trees (kept rows shift lanes), so forward image and gradients
+    must agree to ~1 ulp while the kept instance count actually drops."""
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+        n=120, seed=11
+    )
+    target = jnp.zeros((3, h, w))
+
+    def loss(m2d, conics, colors, opac):
+        img, _, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=4096
+        )
+        return jnp.sum((img - target) ** 2), img
+
+    (l_e, img_e), g_exact = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.setenv("CLMGS_TILE_CULL", "1")
+    jax.clear_caches()  # env is read at trace time
+    (l_c, img_c), g_cull = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.delenv("CLMGS_TILE_CULL")
+    jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(img_c), np.asarray(img_e), atol=5e-7, rtol=0
+    )
+    for name, gc, ge in zip(["means2d", "conics", "colors", "opac"],
+                            g_cull, g_exact):
+        gc, ge = np.asarray(gc), np.asarray(ge)
+        scale = max(np.abs(ge).max(), 1e-3)
+        np.testing.assert_allclose(
+            gc / scale, ge / scale, atol=1e-5,
+            err_msg=f"tile-cull grads: {name}",
+        )
+
+
+def test_tile_cull_kept_counts_consistent(monkeypatch):
+    """The culled binning's counts must (a) sum consistently with its
+    per-gaussian counts_orig and (b) never exceed the uncull counts."""
+    from clm_gs_tpu.ops.tiles import isect_tiles_aligned, tight_extents
+
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+        n=150, seed=3
+    )
+    tw, th = -(-w // 32), -(-h // 16)
+    ext = tight_extents(conics, opac, radii)
+    base = isect_tiles_aligned(
+        m2d, radii, depths, (32, 16), tw, th, 4096, 256, extents=ext
+    )
+    culled = isect_tiles_aligned(
+        m2d, radii, depths, (32, 16), tw, th, 4096, 256, extents=ext,
+        cull=(conics, opac),
+    )
+    kept_t = np.asarray(culled.counts)
+    base_t = np.asarray(base.counts)
+    assert (kept_t <= base_t).all()
+    assert kept_t.sum() < base_t.sum()  # some instances actually culled
+    assert kept_t.sum() == np.asarray(culled.counts_orig).sum()
+    # layout (starts / ids buffer size) unchanged
+    np.testing.assert_array_equal(
+        np.asarray(culled.starts), np.asarray(base.starts)
+    )
+    assert culled.ids.shape == base.ids.shape
+    # every kept id appears in the same tile segment as in the base layout,
+    # in the same relative (depth) order
+    starts = np.asarray(base.starts)
+    for t in range(tw * th):
+        seg_b = np.asarray(base.ids[starts[t]:starts[t + 1]])
+        seg_c = np.asarray(culled.ids[starts[t]:starts[t + 1]])
+        kept = seg_c[seg_c >= 0]
+        assert len(kept) == kept_t[t]
+        # kept sequence is a subsequence of the base segment's reals
+        reals_b = seg_b[seg_b >= 0].tolist()
+        it = iter(reals_b)
+        assert all(any(x == y for y in it) for x in kept.tolist())

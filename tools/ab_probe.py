@@ -29,6 +29,8 @@ CONFIGS = [
     ("pack+k512", {"CLMGS_PACK_GRADS": "1", "CLMGS_CHUNK_K": "512"}),
     ("mxu_geom", {"CLMGS_MXU_GEOM": "1"}),
     ("mxu+pack", {"CLMGS_MXU_GEOM": "1", "CLMGS_PACK_GRADS": "1"}),
+    ("tile_cull", {"CLMGS_TILE_CULL": "1"}),
+    ("cull+mxu", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1"}),
 ]
 
 
