@@ -183,6 +183,21 @@ def main():
         run_child(sys.argv[2])
         return
 
+    # fast-fail when the axon relay is down (jax init would otherwise hang
+    # until each child's timeout: 3 strategies x 25 min)
+    if not os.environ.get("CLMGS_BENCH_PLATFORM"):
+        import socket
+
+        try:
+            s = socket.socket()
+            s.settimeout(3)
+            s.connect(("127.0.0.1", 8082))
+            s.close()
+        except OSError as e:
+            print(f"bench: TPU tunnel unreachable ({e}); no measurement",
+                  file=sys.stderr)
+            sys.exit(3)
+
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     results = {}
