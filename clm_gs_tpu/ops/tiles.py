@@ -120,10 +120,13 @@ def _tile_min_sigma(lx0, lx1, ly0, ly1, ca, cb, cc):
     """Minimum of sigma(dx, dy) = 0.5(ca dx^2 + cc dy^2) + cb dx dy over the
     rectangle [lx0,lx1] x [ly0,ly1] (mean-relative pixel bounds).
 
-    The only stationary point of the quadratic is (0,0); when the mean lies
-    outside the rectangle the minimum is on the boundary: per edge the 1-D
-    restriction's clamped vertex, plus the 4 corners (which dominate when a
-    degenerate conic makes an edge restriction concave)."""
+    The only stationary point of the quadratic is (0,0) with value 0, so the
+    minimum is min over the boundary (per edge the 1-D restriction's clamped
+    vertex, plus the 4 corners, which dominate when a degenerate conic makes
+    an edge restriction concave), additionally clamped to <= 0 when the mean
+    lies inside the rectangle — exact for PSD, degenerate, and indefinite
+    conics alike (for indefinite ones every interior descent direction exits
+    through the boundary)."""
 
     def q(dx, dy):
         return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
@@ -138,7 +141,7 @@ def _tile_min_sigma(lx0, lx1, ly0, ly1, ca, cb, cc):
     s = m(s, m(q(lx0, ly0), q(lx0, ly1)))
     s = m(s, m(q(lx1, ly0), q(lx1, ly1)))
     inside = (lx0 <= 0) & (lx1 >= 0) & (ly0 <= 0) & (ly1 >= 0)
-    return jnp.where(inside, 0.0, s)
+    return jnp.where(inside, jnp.minimum(0.0, s), s)
 
 
 def _depth_key(depths, valid):

@@ -399,3 +399,37 @@ def test_tile_cull_kept_counts_consistent(monkeypatch):
         reals_b = seg_b[seg_b >= 0].tolist()
         it = iter(reals_b)
         assert all(any(x == y for y in it) for x in kept.tolist())
+
+
+def test_tile_min_sigma_lower_bounds_grid():
+    """Property: the analytic rectangle minimum of sigma must lower-bound the
+    minimum over every pixel center in the rectangle (this is what makes the
+    cull conservative), for PSD and degenerate/indefinite conics alike."""
+    from clm_gs_tpu.ops.tiles import _tile_min_sigma
+
+    rng = np.random.RandomState(0)
+    n = 4096
+    # mix of well-conditioned PSD, near-degenerate, and indefinite conics
+    a = rng.uniform(0.001, 2.0, n).astype(np.float32)
+    c = rng.uniform(0.001, 2.0, n).astype(np.float32)
+    b = rng.uniform(-1.5, 1.5, n).astype(np.float32) * np.sqrt(a * c)
+    a[::7] = 1e-9  # degenerate
+    b[::11] *= 3.0  # indefinite
+    # mean-relative pixel-center bounds of a 32x16 tile at random offsets
+    lx0 = rng.uniform(-64, 64, n).astype(np.float32)
+    ly0 = rng.uniform(-64, 64, n).astype(np.float32)
+    lx1, ly1 = lx0 + 31.0, ly0 + 15.0
+    smin = np.asarray(
+        _tile_min_sigma(
+            jnp.asarray(lx0), jnp.asarray(lx1), jnp.asarray(ly0),
+            jnp.asarray(ly1), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+        )
+    )
+    gx = lx0[:, None, None] + np.arange(32, dtype=np.float32)[None, :, None]
+    gy = ly0[:, None, None] + np.arange(16, dtype=np.float32)[None, None, :]
+    grid = (
+        0.5 * (a[:, None, None] * gx * gx + c[:, None, None] * gy * gy)
+        + b[:, None, None] * gx * gy
+    ).reshape(n, -1).min(axis=1)
+    # allow fp slack well inside the cull margin (1e-2)
+    assert (smin <= grid + 1e-3 + 1e-6 * np.abs(grid)).all()
