@@ -56,7 +56,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clm_gs_tpu.ops.tiles import _forward_fill, isect_tiles_aligned, tight_extents
+from clm_gs_tpu.ops.tiles import (_forward_fill, isect_tiles_aligned,
+                                  pack_bf16_pair, tight_extents,
+                                  unpack_bf16_pair)
 
 import os
 
@@ -414,25 +416,6 @@ def _gather_attrs_fwd(table, aligned, slot_cap):
     return _gather_attrs(table, aligned, slot_cap), (aligned, table.shape[0])
 
 
-def _pack_bf16_pair(a, b):
-    """Two f32 columns -> one u32 sort payload holding their bf16 roundings
-    (v5e sort cost is per ELEMENT, so halving operand count — not bytes — is
-    what pays)."""
-    ha = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
-    hb = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
-    return (ha.astype(jnp.uint32) << 16) | hb.astype(jnp.uint32)
-
-
-def _unpack_bf16_pair(w):
-    hi = jax.lax.bitcast_convert_type(
-        (w >> 16).astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    lo = jax.lax.bitcast_convert_type(
-        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    return hi, lo
-
-
 def _gather_attrs_bwd(slot_cap, res, v_rows):
     from clm_gs_tpu.ops.segreduce import segment_reduce_sorted
 
@@ -455,14 +438,14 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
         # keep off unless the measured sort saving justifies a quality A/B.
         cols = [v_rows[:, j] for j in range(ngc)]
         packed = tuple(
-            _pack_bf16_pair(cols[j], cols[j + 1]) for j in range(0, 8, 2)
+            pack_bf16_pair(cols[j], cols[j + 1]) for j in range(0, 8, 2)
         )
         sorted_ops = jax.lax.sort(
             (key,) + packed + (cols[8],), num_keys=1, is_stable=False
         )
         vals = []
         for w in sorted_ops[1:5]:
-            hi, lo = _unpack_bf16_pair(w)
+            hi, lo = unpack_bf16_pair(w)
             vals += [hi, lo]
         vals.append(sorted_ops[5])
         v_table = segment_reduce_sorted(

@@ -109,11 +109,35 @@ def _i2f(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-# fp slack on the per-tile min-sigma test: drop an instance only when every
-# pixel of the tile is at least this far past the kernel's alpha threshold
-# (alpha < exp(-margin)/255), so reassociation noise in the analytic minimum
-# can never drop a pixel the compositing kernel would have kept.
-_CULL_MARGIN = 1e-2
+def pack_bf16_pair(a, b):
+    """Two f32 columns -> one int32 sort/fill payload holding their bf16
+    roundings (v5e sort and fill costs are per ELEMENT, so halving operand
+    count — not bytes — is what pays)."""
+    ha = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    hb = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return ((ha.astype(jnp.uint32) << 16) | hb.astype(jnp.uint32)).astype(
+        jnp.int32
+    )
+
+
+def unpack_bf16_pair(w):
+    w = w.astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
+# Relative slack on the per-tile min-sigma test (the test runs on conics
+# pre-divided by each gaussian's threshold t_sup = ln(255*op), so "reaches the
+# alpha threshold" is exactly smin' <= 1): drop an instance only when every
+# pixel of the tile is at least this fraction past the kernel's threshold,
+# absorbing f32 reassociation noise in the analytic minimum even under heavy
+# cross-term cancellation (error ~6e-8 x term magnitude).
+_CULL_MARGIN = 0.02
 
 
 def _tile_min_sigma(lx0, lx1, ly0, ly1, ca, cb, cc):
@@ -325,11 +349,20 @@ def isect_tiles_aligned(
     d_key = _depth_key(depths, valid_g)
     pre_ops = (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre)
     if cull is not None:
+        # conic pre-divided by t_sup = ln(255*op) so the per-instance test is
+        # smin' <= 1 + margin — one channel fewer than carrying t_sup. The
+        # conic stays f32: its quadratic terms CANCEL for elongated rotated
+        # splats (b ~ -sqrt(ac) with huge individual terms near the major
+        # axis), so bf16-packing them (0.4% per-term) could exceed any fixed
+        # margin and wrongly cull a visible instance; f32's 6e-8 per-term
+        # stays inside _CULL_MARGIN up to ~3e5x cancellation.
         conics, opacities = cull
         t_sup = jnp.log(255.0 * jnp.maximum(opacities, 1e-12))
+        inv_t = 1.0 / jnp.maximum(t_sup, 1e-6)
         pre_ops = pre_ops + (
-            _f2i(means2d[:, 0]), _f2i(means2d[:, 1]), _f2i(conics[:, 0]),
-            _f2i(conics[:, 1]), _f2i(conics[:, 2]), _f2i(t_sup),
+            _f2i(means2d[:, 0]), _f2i(means2d[:, 1]),
+            _f2i(conics[:, 0] * inv_t), _f2i(conics[:, 1] * inv_t),
+            _f2i(conics[:, 2] * inv_t),
         )
     sorted_ops = jax.lax.sort(pre_ops, num_keys=1, is_stable=True)
     order, packed_geo, counts_g = sorted_ops[1:4]
@@ -358,13 +391,13 @@ def isect_tiles_aligned(
     keep = None
     if cull is not None:
         tsx, tsy = _tile_wh(tile_size)
-        mx, my, ca, cb, cc, ts = (_i2f(c) for c in cull_f)
+        mx, my, ca, cb, cc = (_i2f(c) for c in cull_f)
         # pixel-center bounds of the tile, mean-relative
         lx0 = tx.astype(jnp.float32) * tsx + 0.5 - mx
         ly0 = ty.astype(jnp.float32) * tsy + 0.5 - my
         smin = _tile_min_sigma(lx0, lx0 + (tsx - 1), ly0, ly0 + (tsy - 1),
                                ca, cb, cc)
-        keep = smin <= ts + _CULL_MARGIN
+        keep = smin <= 1.0 + _CULL_MARGIN
 
     # Per-tile counts. The common path avoids a 2M+-element scatter-add
     # (~18 ms at bench scale — XLA:TPU scatters are near-serial) by counting
