@@ -100,9 +100,37 @@ def _shift_down(x, s, fill):
     return jnp.concatenate([pad, x[:-s, :]], axis=0)
 
 
+def _block_scan():
+    return os.environ.get("CLMGS_BLOCK_SCAN") == "1"  # read at trace time
+
+
 def _cum_incl(x, op, identity):
-    """Inclusive cumulative `op` along axis 0 (Hillis-Steele doubling)."""
+    """Inclusive cumulative `op` along axis 0 (Hillis-Steele doubling).
+
+    CLMGS_BLOCK_SCAN=1 runs it two-level over 32-row blocks: 5 doubling steps
+    within blocks + a tiny cross-block carry scan + 1 broadcast combine =
+    ~6 full (K, P) ops instead of log2(K) (8 at K=256) — the scan chains are
+    the largest remaining VPU block once CLMGS_MXU_GEOM moves sigma to the
+    MXU. Different op association => ~1 ulp shifts; off by default pending a
+    chip A/B (Mosaic may or may not relayout the (B, 32, P) reshape)."""
     n = x.shape[0]
+    blk = 32
+    if _block_scan() and n % blk == 0 and n > blk:
+        nb = n // blk
+        p = x.shape[1]
+        x3 = x.reshape(nb, blk, p)
+        s = 1
+        while s < blk:
+            pad = jnp.full((nb, s, p), identity, x.dtype)
+            x3 = op(x3, jnp.concatenate([pad, x3[:, :-s, :]], axis=1))
+            s *= 2
+        c = x3[:, -1, :]  # (nb, p) block totals
+        s = 1
+        while s < nb:
+            c = op(c, _shift_down(c, s, identity))
+            s *= 2
+        carries = _shift_down(c, 1, identity)  # exclusive block prefix
+        return op(x3, carries[:, None, :]).reshape(n, p)
     s = 1
     while s < n:
         x = op(x, _shift_down(x, s, identity))

@@ -433,3 +433,39 @@ def test_tile_min_sigma_lower_bounds_grid():
     ).reshape(n, -1).min(axis=1)
     # allow fp slack well inside the cull margin (1e-2)
     assert (smin <= grid + 1e-3 + 1e-6 * np.abs(grid)).all()
+
+
+def test_block_scan_close_to_exact(monkeypatch):
+    """CLMGS_BLOCK_SCAN=1 re-associates the in-kernel cumulative
+    product/sum chains (two-level 32-row blocked scan); forward image and
+    gradients must stay within f32-reassociation tolerance."""
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(seed=5)
+    target = jnp.zeros((3, h, w))
+
+    def loss(m2d, conics, colors, opac):
+        img, _, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=4096
+        )
+        return jnp.sum((img - target) ** 2), img
+
+    (l_e, img_e), g_exact = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.setenv("CLMGS_BLOCK_SCAN", "1")
+    jax.clear_caches()  # env is read at trace time
+    (l_b, img_b), g_blk = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(m2d, conics, colors, opac)
+    monkeypatch.delenv("CLMGS_BLOCK_SCAN")
+    jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(img_b), np.asarray(img_e), atol=1e-6, rtol=0
+    )
+    for name, gb, ge in zip(["means2d", "conics", "colors", "opac"],
+                            g_blk, g_exact):
+        gb, ge = np.asarray(gb), np.asarray(ge)
+        scale = max(np.abs(ge).max(), 1e-3)
+        np.testing.assert_allclose(
+            gb / scale, ge / scale, atol=1e-5,
+            err_msg=f"block-scan grads: {name}",
+        )

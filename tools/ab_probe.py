@@ -31,6 +31,11 @@ CONFIGS = [
     ("mxu+pack", {"CLMGS_MXU_GEOM": "1", "CLMGS_PACK_GRADS": "1"}),
     ("tile_cull", {"CLMGS_TILE_CULL": "1"}),
     ("cull+mxu", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1"}),
+    ("cull+mxu+pack", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1",
+                       "CLMGS_PACK_GRADS": "1"}),
+    ("block_scan", {"CLMGS_BLOCK_SCAN": "1"}),
+    ("cull+mxu+scan", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1",
+                       "CLMGS_BLOCK_SCAN": "1"}),
 ]
 
 
