@@ -469,3 +469,40 @@ def test_block_scan_close_to_exact(monkeypatch):
             gb / scale, ge / scale, atol=1e-5,
             err_msg=f"block-scan grads: {name}",
         )
+
+
+def test_tile_cull_overflow_consistent(monkeypatch):
+    """When true instance demand exceeds isect_cap (the adaptive-growth step
+    still renders from the truncated buffer), the culled binning must stay
+    internally consistent: kept counts within layout segments, n_isects
+    reporting true (bbox) demand, and the render finishing without error."""
+    from clm_gs_tpu.ops.tiles import isect_tiles_aligned, tight_extents
+
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+        n=300, seed=13
+    )
+    tw, th = -(-w // 32), -(-h // 16)
+    ext = tight_extents(conics, opac, radii)
+    small_cap = 256  # force overflow
+    base = isect_tiles_aligned(
+        m2d, radii, depths, (32, 16), tw, th, small_cap, 256, extents=ext
+    )
+    culled = isect_tiles_aligned(
+        m2d, radii, depths, (32, 16), tw, th, small_cap, 256, extents=ext,
+        cull=(conics, opac),
+    )
+    assert int(base.n_isects) > small_cap  # overflow actually happened
+    assert int(culled.n_isects) == int(base.n_isects)
+    seg = np.diff(np.asarray(culled.starts))
+    assert (np.asarray(culled.counts) <= seg).all()
+    assert (np.asarray(culled.counts) <= np.asarray(base.counts)).all()
+    # end-to-end render at the overflowing cap still runs under the gate
+    monkeypatch.setenv("CLMGS_TILE_CULL", "1")
+    jax.clear_caches()
+    img, alpha, n = rasterize(
+        m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=small_cap
+    )
+    monkeypatch.delenv("CLMGS_TILE_CULL")
+    jax.clear_caches()
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(n) == int(base.n_isects)
