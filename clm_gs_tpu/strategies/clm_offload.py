@@ -68,11 +68,17 @@ class ClmContext:
     )
     # overlap meter accumulators (reference trailing-overhead meter,
     # engine.py:888-917): trailing_s = device-idle wait for the host side per
-    # batch; host_work_s = total host scatter + Adam busy time (main thread +
-    # worker thread; the worker writes only between submit and join).
+    # batch. Scatter (main thread) and Adam (worker thread) busy times live in
+    # SEPARATE fields — a shared float with += from both threads is a
+    # read-modify-write race that silently drops increments.
     trailing_s: float = 0.0
-    host_work_s: float = 0.0
+    scatter_work_s: float = 0.0
+    adam_work_s: float = 0.0
     n_batches: int = 0
+
+    @property
+    def host_work_s(self) -> float:
+        return self.scatter_work_s + self.adam_work_s
 
 
 def make_context_empty(cfg, capacity: int, adam_cfg: AdamConfig) -> ClmContext:
@@ -253,7 +259,7 @@ def _timed_sparse_step(ctx, rows, grad_scale, step):
     accumulator only after joining the futures)."""
     t0 = time.perf_counter()
     ctx.adam.sparse_step(ctx.sh_host, ctx.sh_grad_host, rows, grad_scale, step)
-    ctx.host_work_s += time.perf_counter() - t0
+    ctx.adam_work_s += time.perf_counter() - t0
 
 
 def _drain_pending(ctx, pending, futures, grad_scale, step, stop_update):
@@ -266,7 +272,7 @@ def _drain_pending(ctx, pending, futures, grad_scale, step, stop_update):
     if len(ids):
         g_np = np.asarray(g_dev)[: len(ids)]
         native.scatter_add_rows(ctx.sh_grad_host, g_np, ids, accumulate=True)
-    ctx.host_work_s += time.perf_counter() - t0
+    ctx.scatter_work_s += time.perf_counter() - t0
     if len(fin_rows) and not stop_update:
         futures.append(
             ctx.executor.submit(_timed_sparse_step, ctx, fin_rows, grad_scale, step)
