@@ -183,9 +183,12 @@ def main():
         run_child(sys.argv[2])
         return
 
-    # fast-fail when the axon relay is down (jax init would otherwise hang
-    # until each child's timeout: 3 strategies x 25 min)
-    if not os.environ.get("CLMGS_BENCH_PLATFORM"):
+    # fast-fail when the sandbox's axon relay is down (jax init would
+    # otherwise hang until each child's timeout: 3 strategies x 25 min).
+    # Gated on the axon plugin actually being selected — a real TPU VM has
+    # no tunnel on 8082 and must not be blocked by this probe.
+    if (not os.environ.get("CLMGS_BENCH_PLATFORM")
+            and os.environ.get("JAX_PLATFORMS") == "axon"):
         import socket
 
         try:

@@ -156,6 +156,30 @@ def _mxu_geom():
     return os.environ.get("CLMGS_MXU_GEOM") == "1"  # read at trace time
 
 
+# MXU-geometry path: f32 cancellation in the expanded bilinear form can round
+# a true ~0 sigma to a small NEGATIVE value right at a splat's peak pixels,
+# which the ok-mask's `sigma >= 0` guard would then zero (alpha 0 at the
+# brightest pixel). Snap negatives above this tolerance back to 0 — a PSD
+# conic's true sigma is >= 0 — while genuinely negative values (indefinite
+# conics) still fail the guard like the exact path. Bound: terms are
+# ~ ca * mxc^2 <= ~2 * 33^2 when the mean is near the tile (the only place
+# true sigma ~ 0), so the rounding error is <~1e-3; 5e-3 covers it with
+# margin while perturbing alpha by at most 0.5% where it fires.
+_MXU_SIGMA_SNAP = 5e-3
+
+
+def _pixel_monomials(pxl, pyl):
+    """(8, P) tile-local pixel monomial rows [1, x, y, x^2, xy, y^2, 0, 0] —
+    the shared basis of the fwd bilinear form (U @ V) and the bwd moment
+    contraction (v_sigma @ V^T); column order and padding must match the
+    moment arithmetic in _bwd_kernel."""
+    return jnp.concatenate(
+        [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl, pxl * pyl,
+         pyl * pyl, jnp.zeros((2, P), jnp.float32)],
+        axis=0,
+    )
+
+
 def _chunk_geometry(coords, buf_t, n):
     """Shared fwd/bwd per-chunk alpha math.
 
@@ -165,11 +189,11 @@ def _chunk_geometry(coords, buf_t, n):
 
     CLMGS_MXU_GEOM=1 rides the MXU: sigma(p) is a rank-6 bilinear form
     sigma = U(K,8) @ V(8,P) with V the pixel monomials [1, x, y, x^2, xy,
-    y^2] in TILE-LOCAL coordinates (x,y in [0, TILE_W/H] and means centered
-    on the tile origin keep the expanded form's terms ~O(ln 255) so the f32
-    cancellation error stays ~1e-4 of sigma) — replacing ~10 (K,P) VPU ops
-    with one matmul. Not bit-exact vs the direct dx/dy form (different fp
-    association); off by default pending a chip A/B + quality check.
+    y^2] in TILE-LOCAL coordinates (tile-local x,y and tile-centered means
+    keep the expanded form's terms small, so the f32 cancellation error is
+    <~1e-3 absolute; near-zero negatives are snapped, see _MXU_SIGMA_SNAP) —
+    replacing ~10 (K,P) VPU ops with one matmul. Not bit-exact vs the direct
+    dx/dy form (different fp association); off by default pending a chip A/B.
     """
     pxf, pyf, pxl, pyl, ox, oy = coords
     mx = buf_t[:, _MX : _MX + 1]
@@ -181,22 +205,20 @@ def _chunk_geometry(coords, buf_t, n):
     if _mxu_geom():
         mxc = mx - ox  # tile-local mean (K, 1)
         myc = my - oy
-        dx = pxl - mxc  # == pxf - mx up to one fp rounding
-        dy = pyl - myc
         q0 = 0.5 * (ca * mxc * mxc + cc * myc * myc) + cb * mxc * myc
         U = jnp.concatenate(
             [q0, -(ca * mxc + cb * myc), -(cc * myc + cb * mxc),
              0.5 * ca, cb, 0.5 * cc, jnp.zeros((K, 2), jnp.float32)],
             axis=1,
         )  # (K, 8)
-        V = jnp.concatenate(
-            [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl, pxl * pyl,
-             pyl * pyl, jnp.zeros((2, P), jnp.float32)],
-            axis=0,
-        )  # (8, P)
         sigma = jax.lax.dot_general(
-            U, V, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            U, _pixel_monomials(pxl, pyl), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        sigma = jnp.where(
+            sigma > -_MXU_SIGMA_SNAP, jnp.maximum(sigma, 0.0), sigma
+        )
+        dx = dy = None  # bwd MXU branch uses moment contractions instead
         mx, my = mxc, myc  # bwd moment contractions use local coords
     else:
         dx = pxf - mx  # (K, P)
@@ -331,7 +353,6 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
         v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
         v_sigma = -g["ga"] * v_a  # (K, P)
 
-        dx, dy = g["dx"], g["dy"]
         v_color = jax.lax.dot_general(
             w, v4[0:3, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -344,13 +365,8 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
             # sum dx^2 vs = S[x^2] - 2 mx S[x] + mx^2 S[1]) — replaces five
             # (K, P) multiply+reduce chains
             _, _, pxl, pyl, _, _ = coords
-            V6 = jnp.concatenate(
-                [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl,
-                 pxl * pyl, pyl * pyl, jnp.zeros((2, P), jnp.float32)],
-                axis=0,
-            )  # (8, P)
             S = jax.lax.dot_general(
-                v_sigma, V6, (((1,), (1,)), ((), ())),
+                v_sigma, _pixel_monomials(pxl, pyl), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (K, 8): [s0, sx, sy, sxx, sxy, syy, 0, 0]
             mx, my = g["mx"], g["my"]
@@ -366,6 +382,7 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
             v_mx = -(g["ca"] * sx + g["cb"] * sy)
             v_my = -(g["cc"] * sy + g["cb"] * sx)
         else:
+            dx, dy = g["dx"], g["dy"]
             v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
             v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
             v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)

@@ -506,3 +506,35 @@ def test_tile_cull_overflow_consistent(monkeypatch):
     jax.clear_caches()
     assert np.isfinite(np.asarray(img)).all()
     assert int(n) == int(base.n_isects)
+
+
+def test_mxu_geom_peak_pixel_not_dropped(monkeypatch):
+    """Regression: the expanded bilinear sigma can round slightly negative at
+    a splat's PEAK pixel (true sigma ~ 0) under f32 cancellation; the ok
+    mask's sigma >= 0 guard must not zero the brightest pixel (snap tol)."""
+    # elongated rotated conic with the mean just off a pixel center
+    m2d = jnp.array([[27.49, 2.43]])
+    conics = jnp.array([[0.145, -0.0158, 0.00174]])
+    colors = jnp.array([[1.0, 0.0, 0.0]])
+    opac = jnp.array([0.95])
+    depths = jnp.array([1.0])
+    radii = jnp.array([200])
+    w, h = 64, 48
+
+    def render():
+        img, _, _ = rasterize(
+            m2d, conics, colors, opac, depths, radii, w, h, BG,
+            isect_cap=4096,
+        )
+        return np.asarray(img)
+
+    img_e = render()
+    monkeypatch.setenv("CLMGS_MXU_GEOM", "1")
+    jax.clear_caches()
+    img_m = render()
+    monkeypatch.delenv("CLMGS_MXU_GEOM")
+    jax.clear_caches()
+    # the peak pixel must render the splat in both paths
+    py, px = 2, 27
+    assert img_e[0, py, px] > 0.9
+    np.testing.assert_allclose(img_m, img_e, atol=1e-2)
