@@ -69,8 +69,7 @@ def run_child(strategy: str):
     cfg.opt.lr_scale_mode = "accumu"
     init_config(cfg)
 
-    def drain(*leaves):
-        return sum(float(x.reshape(-1)[0]) for x in leaves)
+    from clm_gs_tpu.utils.bench_scene import drain_scalar as drain
 
     if strategy == "no_offload":
         def one_batch(s, o, _ctx, cap):
@@ -163,8 +162,11 @@ def run_child(strategy: str):
     }
     if strategy == "clm_offload":
         # per-gaussian device bytes with SH + moments off-device: 11 attr
-        # floats + 4 Adam groups' moments (11*3 f32) + stats ~= 4 more
-        dev_bytes_per_gauss = max(live_gb, 0.001) * 2**30 / n_gauss
+        # floats + 4 Adam groups' moments (11*3 f32) + stats ~= 4 more.
+        # live_gb can be None (live_arrays() failed above) — fall back to the
+        # analytic 44 f32/gaussian rather than crashing after the timed runs.
+        live = live_gb if live_gb is not None else n_gauss * 44 * 4 / 2**30
+        dev_bytes_per_gauss = max(live, 0.001) * 2**30 / n_gauss
         rec["max_gaussians_per_chip_est"] = int(
             (hbm_limit or 16.0) * 2**30 * 0.85 / dev_bytes_per_gauss
         )

@@ -266,10 +266,13 @@ def init_config(cfg: Config) -> Config:
             f"is supported (got {cfg.aux.dataset_cache_and_stream_mode!r})"
         )
     if cfg.debug.nsys_profile:
-        # reference profiler flags alias the jax.profiler window
+        # reference profiler flags alias the jax.profiler window; don't
+        # clobber an explicitly narrowed --profile_start/end_iter window
         cfg.debug.profile = True
-        cfg.debug.profile_start_iter = cfg.debug.nsys_profile_start_iter
-        cfg.debug.profile_end_iter = cfg.debug.nsys_profile_end_iter
+        if cfg.debug.profile_start_iter == 1:
+            cfg.debug.profile_start_iter = cfg.debug.nsys_profile_start_iter
+        if cfg.debug.profile_end_iter == 1_000_000:
+            cfg.debug.profile_end_iter = cfg.debug.nsys_profile_end_iter
     cfg.aux.test_iterations = sorted(cfg.aux.test_iterations)
     cfg.aux.save_iterations = sorted(set(cfg.aux.save_iterations))
     if cfg.opt.iterations not in cfg.aux.save_iterations and not cfg.debug.do_not_save:

@@ -518,12 +518,7 @@ def _attrs_blocks(attrs_rows):
     (zero-pads the dead rows and appends the trash block)."""
     cap_t = attrs_rows.shape[0]
     blocks = jnp.transpose(attrs_rows.reshape(cap_t // K, K, NGC), (0, 2, 1))
-    return jnp.concatenate(
-        [
-            jnp.pad(blocks, ((0, 1), (0, ATTR_ROWS - NGC), (0, 0))),
-        ],
-        axis=0,
-    )
+    return jnp.pad(blocks, ((0, 1), (0, ATTR_ROWS - NGC), (0, 0)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

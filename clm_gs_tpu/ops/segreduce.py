@@ -82,10 +82,10 @@ def _chunk_plan(en_blocks, n_blocks: int, n_in_blocks: int, plan_cap: int):
 
     lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), en_blocks[:-1]]) // CH
     hi = -(-en_blocks // CH)
-    nchunks = jnp.maximum(hi - lo, 1)
+    nchunks = jnp.maximum(hi - lo, 1)  # every block visited >= once
     ccum = jnp.cumsum(nchunks)
     cstarts = ccum - nchunks
-    dst = jnp.where(nchunks > 0, cstarts, plan_cap)
+    dst = cstarts  # nchunks >= 1 by construction: all scatter slots real
     blk_fill, cstart_fill, lo_fill = _forward_fill(
         (
             jnp.zeros(plan_cap, jnp.int32).at[dst].set(

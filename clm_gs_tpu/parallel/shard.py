@@ -38,9 +38,14 @@ from clm_gs_tpu.strategies.no_offload import StepOut
 
 
 def make_sharded_train_step(
-    mesh: Mesh, width: int, height: int, isect_cap: int, sparse_adam: bool = False
+    mesh: Mesh, width: int, height: int, isect_cap: int,
+    sparse_adam: bool = False, lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0, stop_update_param: bool = False,
 ):
-    """Build the jitted multi-chip train step for this mesh/resolution."""
+    """Build the jitted multi-chip train step for this mesh/resolution.
+    lambda_dssim/loss_scale/stop_update_param mirror the single-chip
+    no_offload.train_step knobs (same CLI must train identically on any
+    device count)."""
 
     def local_losses(params, alive, viewmats, Ks, camtoworlds, gts, sh_degree, bg):
         """Runs per-device inside shard_map. params/alive are the local gauss
@@ -77,7 +82,10 @@ def make_sharded_train_step(
                     gather(colors), gather(opac), gather(proj.depths[0]),
                     gather(proj.radii[0]), width, height, bg, isect_cap,
                 )
-                return photometric_loss(image, gt), (proj.radii[0], n_isects)
+                return (
+                    photometric_loss(image, gt, lambda_dssim, loss_scale),
+                    (proj.radii[0], n_isects),
+                )
 
             probe0 = jnp.zeros((C_local, 2), jnp.float32)
             (loss, (radii, n_isects)), (g, g_probe) = jax.value_and_grad(
@@ -151,10 +159,15 @@ def make_sharded_train_step(
             cams.camtoworlds, gt_images, jnp.asarray(sh_degree), background,
         )
         grads = jax.tree.map(lambda g: g / bsz, grads)
-        update_mask = (state.alive & vis_any) if sparse_adam else state.alive
-        new_params, new_opt = adam_step(
-            state.params, grads, opt_state, lrs, adam_cfg, update_mask
-        )
+        if stop_update_param:
+            new_params, new_opt = state.params, opt_state
+        else:
+            update_mask = (
+                (state.alive & vis_any) if sparse_adam else state.alive
+            )
+            new_params, new_opt = adam_step(
+                state.params, grads, opt_state, lrs, adam_cfg, update_mask
+            )
         new_state = GaussianState(
             params=new_params, alive=state.alive, n_alive=state.n_alive,
             xyz_grad_accum=state.xyz_grad_accum + stats[0],

@@ -237,8 +237,16 @@ def training(cfg: Config):
     profiling = [False]
     e2e.start()
     ema_loss = None
+    def _frozen_probe():
+        # naive_offload strips device params — its canonical xyz lives in the
+        # host context (probing the (1, 3) device placeholder would make the
+        # tripwire vacuously pass)
+        if strategy_name == "naive_offload":
+            return float(np.abs(strategy_ctx.params_host["xyz"]).sum())
+        return float(jnp.abs(state.params.xyz).sum())
+
     frozen_param_sum = (
-        float(jnp.abs(state.params.xyz).sum())
+        _frozen_probe()
         if cfg.debug.stop_update_param and cfg.debug.stop_update_param_assert
         else None
     )
@@ -278,7 +286,10 @@ def training(cfg: Config):
             key = (W, H, isect_cap, cfg.aux.sparse_adam)
             if key not in training._sharded_fns:
                 training._sharded_fns[key] = make_sharded_train_step(
-                    mesh, W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam
+                    mesh, W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
+                    lambda_dssim=cfg.opt.lambda_dssim,
+                    loss_scale=cfg.opt.lr_scale_loss,
+                    stop_update_param=cfg.debug.stop_update_param,
                 )
             cb = jax.tree.map(lambda x: jax.device_put(x, dsh), cb)
             gt = jax.device_put(gt, dsh)
@@ -317,7 +328,7 @@ def training(cfg: Config):
             if cfg.debug.stop_update_param and cfg.debug.stop_update_param_assert:
                 # the reference asserts params stay bit-identical under
                 # --stop_update_param (its gaussian_model update asserts)
-                cur = float(jnp.abs(state.params.xyz).sum())
+                cur = _frozen_probe()
                 assert cur == frozen_param_sum, (
                     f"stop_update_param violated: {cur} != {frozen_param_sum}"
                 )

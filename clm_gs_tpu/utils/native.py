@@ -130,6 +130,11 @@ if _adam is not None and not _bind_adam(_adam):
         tmp.close()
         shutil.copy2(os.path.join(_CSRC, "libcpu_adam.so"), tmp.name)
         _adam = ctypes.CDLL(tmp.name)
+        # the mapping survives the unlink (POSIX); without it every
+        # stale-ABI load leaks one .so copy in /tmp
+        import atexit
+
+        atexit.register(lambda p=tmp.name: os.path.exists(p) and os.unlink(p))
         if not _bind_adam(_adam):
             _adam = None
     except Exception:
