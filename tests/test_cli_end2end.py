@@ -142,6 +142,23 @@ def test_mesh_densification(dataset, tmp_path):
     assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 5 for e in evals)
 
 
+def test_mesh_densification_clm(dataset, tmp_path):
+    """Multi-chip x clm_offload x densification: the sharded 11-float HBM
+    attrs grow under the mesh while the host SH/moment buffers replay the
+    same row-movement plan; PSNR must match the single-chip clm trajectory
+    (it does exactly, same camera order and grads)."""
+    out = str(tmp_path / "mesh_clm_run")
+    _run(dataset, out, "clm_offload", iters=16, extra=["--mesh_shape", "2x2"])
+    log = open(os.path.join(out, "python.log")).read()
+    assert "multi-chip mesh" in log
+    assert "densify_and_prune" in log
+    events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
+    evals = [e for e in events if e["kind"] == "eval"]
+    assert evals and all(np.isfinite(e["psnr"]) and e["psnr"] > 5 for e in evals)
+    dens = [e for e in events if e["kind"] == "densify"]
+    assert dens and dens[-1]["num_3dgs"] > 150
+
+
 def test_cli_city_run(tmp_path):
     """End-to-end on a MatrixCity-layout source: detect_scene_type -> 'city',
     read_city_scene (OpenGL->COLMAP pose conversion, explicit test split,
