@@ -124,7 +124,9 @@ def _cum_incl(x, op, identity):
             pad = jnp.full((nb, s, p), identity, x.dtype)
             x3 = op(x3, jnp.concatenate([pad, x3[:, :-s, :]], axis=1))
             s *= 2
-        c = x3[:, -1, :]  # (nb, p) block totals
+        # keepdims slice + reshape: integer indexing on the middle dim of a
+        # 3-D array lowers to dynamic_slice, which Mosaic does not implement
+        c = x3[:, -1:, :].reshape(nb, p)  # (nb, p) block totals
         s = 1
         while s < nb:
             c = op(c, _shift_down(c, s, identity))
@@ -474,13 +476,15 @@ def _gather_attrs_bwd(slot_cap, res, v_rows):
     # is ~6-10 ms) and no unsort (output lands in id order directly).
     ngc = NGC
     key = jnp.where(aligned.ids >= 0, aligned.ids, jnp.int32(1 << 30))
-    if os.environ.get("CLMGS_PACK_GRADS") == "1":
-        # A/B probe: ride the sort with 8 of the 9 grad columns packed as
-        # bf16 pairs (6 sorted operands instead of 10). Per-instance grads
-        # round to ~3 significant digits BEFORE the per-gaussian f32
-        # reduction — a ~0.4% relative perturbation of individual gradient
-        # terms, far below SGD batch noise, but NOT bit-exact vs the oracle;
-        # keep off unless the measured sort saving justifies a quality A/B.
+    if os.environ.get("CLMGS_PACK_GRADS", "1") == "1":
+        # Default on (chip A/B: 5.42 vs 4.81 Mpix/s, +12.6% — the grad-regroup
+        # sort is the most expensive sort in the step; set CLMGS_PACK_GRADS=0
+        # for the bit-exact oracle path). Rides the sort with 8 of the 9 grad
+        # columns packed as bf16 pairs (6 sorted operands instead of 10).
+        # Per-instance grads round to ~3 significant digits BEFORE the
+        # per-gaussian f32 reduction — a ~0.4% relative perturbation of
+        # individual gradient terms, far below SGD batch noise, but NOT
+        # bit-exact vs the oracle (training A/B: see PARITY.md round-2 table).
         cols = [v_rows[:, j] for j in range(ngc)]
         packed = tuple(
             pack_bf16_pair(cols[j], cols[j + 1]) for j in range(0, 8, 2)

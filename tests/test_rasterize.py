@@ -122,7 +122,12 @@ class TestPallasVsOracle:
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img), atol=2e-5)
         np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), atol=2e-5)
 
-    def test_grad_matches_oracle(self):
+    def test_grad_matches_oracle(self, monkeypatch):
+        # pin the bit-exact regroup path: the oracle comparison is the proof
+        # of the hand-derived backward math, independent of the (default-on)
+        # bf16 payload packing that test_packed_grad_regroup bounds separately
+        monkeypatch.setenv("CLMGS_PACK_GRADS", "0")
+        jax.clear_caches()
         m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(seed=3)
         target = jnp.zeros((3, h, w))
 
@@ -184,12 +189,14 @@ class TestPallasVsOracle:
         assert int(n_isects) > 64
         assert np.isfinite(np.asarray(img)).all()
 
-    def test_grad_deep_stack_early_termination(self):
+    def test_grad_deep_stack_early_termination(self, monkeypatch):
         """Hundreds of near-opaque gaussians piled on a few tiles: every tile
         terminates well before its last K-chunk, so the backward's dead-chunk
         compaction (live-prefix grid + never-visited grad-block masking) is
         on the hot path. Gradients must still match the oracle exactly —
         post-termination instances get zero gradient in both."""
+        monkeypatch.setenv("CLMGS_PACK_GRADS", "0")  # bit-exact vs oracle
+        jax.clear_caches()
         n = 700  # >> K instances per tile -> multiple chunks
         rng = np.random.RandomState(7)
         w, h = 64, 48
@@ -267,9 +274,11 @@ def test_packed_grad_regroup_close_to_exact(monkeypatch):
         )
         return jnp.sum((img - target) ** 2)
 
+    monkeypatch.setenv("CLMGS_PACK_GRADS", "0")
+    jax.clear_caches()  # env is read at trace time
     g_exact = jax.grad(loss, argnums=(0, 1, 2, 3))(m2d, conics, colors, opac)
     monkeypatch.setenv("CLMGS_PACK_GRADS", "1")
-    jax.clear_caches()  # env is read at trace time
+    jax.clear_caches()
     g_packed = jax.grad(loss, argnums=(0, 1, 2, 3))(m2d, conics, colors, opac)
     monkeypatch.delenv("CLMGS_PACK_GRADS")
     jax.clear_caches()
