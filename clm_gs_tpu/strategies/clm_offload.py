@@ -478,15 +478,25 @@ def post_densify(ctx: ClmContext, state: GaussianState, info):
     """Replay the densification row-movement plan on the host SH buffers
     (the reference's CPU-side pinned-buffer row copies,
     clm_offload/gaussian_model.py:609-699): clone/split children copy the
-    source row's SH; moments and pending grads of written rows reset."""
+    source row's SH; moments and pending grads of written rows reset.
+
+    All source rows are gathered BEFORE any write: children may land in
+    freed split-source slots (the device-side scatter always reads the
+    pre-densify params), so a sequential copy-then-copy replay would read
+    corrupted sources. This skew was the round-2 clm densification-trajectory
+    divergence (clm ended with 17% more gaussians than no_offload,
+    QUALITY_r02): split children born with another row's SH render wrong,
+    inflating screen-space grads and densifying extra rows."""
     C = state.capacity
-    clone_dest = np.asarray(info.clone_dest)
-    src = np.nonzero(clone_dest < C)[0]
-    ctx.sh_host[clone_dest[src]] = ctx.sh_host[src]
-    for r in range(info.split_dest.shape[0]):
-        sd = np.asarray(info.split_dest[r])
+    plans = [np.asarray(info.clone_dest)] + [
+        np.asarray(info.split_dest[r]) for r in range(info.split_dest.shape[0])
+    ]
+    moves = []  # (dest_rows, source_values) with all gathers up front
+    for sd in plans:
         src = np.nonzero(sd < C)[0]
-        ctx.sh_host[sd[src]] = ctx.sh_host[src]
+        moves.append((sd[src], ctx.sh_host[src].copy()))
+    for dest, vals in moves:
+        ctx.sh_host[dest] = vals
     written = np.asarray(info.written)
     ctx.adam.exp_avg[written] = 0.0
     ctx.adam.exp_avg_sq[written] = 0.0

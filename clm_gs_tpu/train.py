@@ -166,6 +166,16 @@ def training(cfg: Config):
     # HBM scales down as 1/n_gauss while SH stays in host DRAM).
     sharded_step = None
     mesh = None
+    if (cfg.tpu.shard_gaussians and len(jax.devices()) > 1
+            and strategy_name == "naive_offload"):
+        # naive_offload keeps the whole model in host DRAM and bulk-copies it
+        # per batch — there is no resident device state to shard, so the mesh
+        # path does not apply (documented limitation; use clm_offload for
+        # sharded offload training).
+        logger.write(
+            "naive_offload does not support multi-chip sharding; "
+            "running single-device\n"
+        )
     if cfg.tpu.shard_gaussians and len(jax.devices()) > 1 and strategy_name in (
         "no_offload", "clm_offload",
     ):
@@ -234,6 +244,7 @@ def training(cfg: Config):
             opt_state = shard_capacity_tree(opt_state, mesh, state.capacity)
 
     logger.write(f"setup time: {time.time() - t_setup:.1f} s\n")
+    sharded_fns: Dict = {}  # compiled mesh steps, keyed by (W, H, cap, flags)
     profiling = [False]
     e2e.start()
     ema_loss = None
@@ -281,11 +292,11 @@ def training(cfg: Config):
             from clm_gs_tpu.parallel.shard import make_sharded_train_step
 
             mesh, dsh = sharded_step
-            if not hasattr(training, "_sharded_fns"):
-                training._sharded_fns = {}
+            # per-call cache (NOT on the function object: a stale mesh from a
+            # previous training() call in the same process must never be hit)
             key = (W, H, isect_cap, cfg.aux.sparse_adam)
-            if key not in training._sharded_fns:
-                training._sharded_fns[key] = make_sharded_train_step(
+            if key not in sharded_fns:
+                sharded_fns[key] = make_sharded_train_step(
                     mesh, W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
                     lambda_dssim=cfg.opt.lambda_dssim,
                     loss_scale=cfg.opt.lr_scale_loss,
@@ -293,7 +304,7 @@ def training(cfg: Config):
                 )
             cb = jax.tree.map(lambda x: jax.device_put(x, dsh), cb)
             gt = jax.device_put(gt, dsh)
-            state, opt_state, out = training._sharded_fns[key](
+            state, opt_state, out = sharded_fns[key](
                 state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background
             )
         elif strategy_name == "no_offload":

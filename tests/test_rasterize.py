@@ -106,6 +106,18 @@ def _maybe_interpret():
     return jax.default_backend() != "tpu"
 
 
+@pytest.fixture
+def exact_grad_regroup(monkeypatch):
+    """Pin the bit-exact (unpacked) grad-regroup path. The gate is read at
+    TRACE time inside the module-level jitted rasterize, so traces must be
+    dropped on BOTH edges — otherwise a later same-shape test silently reuses
+    the exact-path trace after monkeypatch restores the default-on env."""
+    monkeypatch.setenv("CLMGS_PACK_GRADS", "0")
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
 class TestPallasVsOracle:
     @pytest.mark.parametrize("seed,angle", [(0, 0.4), (1, 1.2), (2, 2.5)])
     def test_forward_matches_oracle(self, seed, angle):
@@ -122,12 +134,10 @@ class TestPallasVsOracle:
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img), atol=2e-5)
         np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), atol=2e-5)
 
-    def test_grad_matches_oracle(self, monkeypatch):
+    def test_grad_matches_oracle(self, exact_grad_regroup):
         # pin the bit-exact regroup path: the oracle comparison is the proof
         # of the hand-derived backward math, independent of the (default-on)
         # bf16 payload packing that test_packed_grad_regroup bounds separately
-        monkeypatch.setenv("CLMGS_PACK_GRADS", "0")
-        jax.clear_caches()
         m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(seed=3)
         target = jnp.zeros((3, h, w))
 
@@ -189,14 +199,12 @@ class TestPallasVsOracle:
         assert int(n_isects) > 64
         assert np.isfinite(np.asarray(img)).all()
 
-    def test_grad_deep_stack_early_termination(self, monkeypatch):
+    def test_grad_deep_stack_early_termination(self, exact_grad_regroup):
         """Hundreds of near-opaque gaussians piled on a few tiles: every tile
         terminates well before its last K-chunk, so the backward's dead-chunk
         compaction (live-prefix grid + never-visited grad-block masking) is
         on the hot path. Gradients must still match the oracle exactly —
         post-termination instances get zero gradient in both."""
-        monkeypatch.setenv("CLMGS_PACK_GRADS", "0")  # bit-exact vs oracle
-        jax.clear_caches()
         n = 700  # >> K instances per tile -> multiple chunks
         rng = np.random.RandomState(7)
         w, h = 64, 48

@@ -183,3 +183,55 @@ class TestEvalBatch:
                 jnp.maximum(jnp.mean((imgc - gts[i]) ** 2), 1e-12)))
             np.testing.assert_allclose(float(l1s[i]), l1, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(float(pss[i]), ps, rtol=1e-4, atol=1e-4)
+
+
+class TestClmDensifyReplay:
+    def test_host_replay_matches_device_sh(self):
+        """The host-side SH replay of a densify plan must equal the device
+        scatter (which reads pre-densify params for every child). Regression
+        for the round-2 divergence: a CLONE child landing in a freed SPLIT
+        source's slot corrupted the sequential replay's later gather — split
+        children were born with the clone source's SH."""
+        from clm_gs_tpu.models.densify import densify_and_prune
+
+        C, n = 8, 6
+        rng = np.random.RandomState(0)
+        ls = np.full((C, 3), np.log(0.001), np.float32)  # small -> clone
+        ls[1] = np.log(5.0)  # row 1 huge -> split (source pruned, slot freed)
+        params = G.GaussianParams(
+            xyz=jnp.asarray(rng.randn(C, 3).astype(np.float32)),
+            opacity=jnp.full((C,), 3.0),
+            log_scale=jnp.asarray(ls),
+            quat=jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (C, 1)),
+            sh=jnp.asarray(np.arange(C * 48).reshape(C, 48).astype(np.float32)),
+        )
+        alive = jnp.asarray(np.arange(C) < n)
+        accum = np.zeros(C, np.float32)
+        accum[[0, 1]] = 10.0  # row 0 clones, row 1 splits
+        state = G.GaussianState(
+            params=params, alive=alive, n_alive=jnp.asarray(n, jnp.int32),
+            xyz_grad_accum=jnp.asarray(accum),
+            denom=jnp.where(alive, 1.0, 0.0), max_radii2d=jnp.zeros(C),
+        )
+        key = jax.random.PRNGKey(0)
+        args = (0.5, 0.005, 1.0, 0.01, jnp.asarray(False))
+        s_dev, _, info_dev = densify_and_prune(
+            state, init_adam(params), key, *args
+        )
+        # the hazard this test exists for: the clone child occupies the
+        # split source's freed slot
+        assert int(np.asarray(info_dev.clone_dest)[0]) == 1
+
+        cfg = _mk_cfg("clm_offload")
+        ctx = clm_offload.make_context(cfg, state, AdamConfig())
+        state_h = clm_offload.strip_device_sh(state)
+        s_clm, _, info_clm = densify_and_prune(
+            state_h, init_adam(state_h.params), key, *args, include_sh=False
+        )
+        ctx = clm_offload.post_densify(ctx, s_clm, info_clm)
+
+        sh_dev = np.asarray(s_dev.params.sh)
+        alive_new = np.asarray(s_dev.alive)
+        np.testing.assert_array_equal(
+            ctx.sh_host[alive_new], sh_dev[alive_new]
+        )

@@ -6,8 +6,12 @@ bench-scene fwd+bwd through bench.py's no_offload child. Prints one line per
 config plus a final ranking, so a single `timeout 3600 python tools/ab_probe.py`
 answers every open kernel/glue question in one chip claim.
 
+CLMGS_PACK_GRADS is default-ON since the round-2 A/B (+12.6%); every config
+here pins it explicitly so "baseline" stays the exact-regroup baseline and
+"pack_grads" measures the packed path against it.
+
 Configs probed (see PARITY.md round-2 lever notes):
-  - baseline (K=256, exact grad regroup)
+  - baseline (K=256, exact grad regroup, PACK_GRADS=0)
   - CLMGS_PACK_GRADS=1  (6-operand bf16-packed grad-regroup sort)
   - CLMGS_CHUNK_K=128 / 512  (grid-step count vs alignment-slot tradeoff)
 """
@@ -22,20 +26,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = [
-    ("baseline", {}),
+    ("baseline", {"CLMGS_PACK_GRADS": "0"}),
     ("pack_grads", {"CLMGS_PACK_GRADS": "1"}),
-    ("k128", {"CLMGS_CHUNK_K": "128"}),
-    ("k512", {"CLMGS_CHUNK_K": "512"}),
+    ("k128", {"CLMGS_PACK_GRADS": "0", "CLMGS_CHUNK_K": "128"}),
+    ("k512", {"CLMGS_PACK_GRADS": "0", "CLMGS_CHUNK_K": "512"}),
     ("pack+k512", {"CLMGS_PACK_GRADS": "1", "CLMGS_CHUNK_K": "512"}),
-    ("mxu_geom", {"CLMGS_MXU_GEOM": "1"}),
+    ("mxu_geom", {"CLMGS_PACK_GRADS": "0", "CLMGS_MXU_GEOM": "1"}),
     ("mxu+pack", {"CLMGS_MXU_GEOM": "1", "CLMGS_PACK_GRADS": "1"}),
-    ("tile_cull", {"CLMGS_TILE_CULL": "1"}),
-    ("cull+mxu", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1"}),
+    ("tile_cull", {"CLMGS_PACK_GRADS": "0", "CLMGS_TILE_CULL": "1"}),
+    ("cull+mxu", {"CLMGS_PACK_GRADS": "0", "CLMGS_TILE_CULL": "1",
+                  "CLMGS_MXU_GEOM": "1"}),
     ("cull+mxu+pack", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1",
                        "CLMGS_PACK_GRADS": "1"}),
     ("block_scan", {"CLMGS_BLOCK_SCAN": "1"}),
-    ("cull+mxu+scan", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1",
-                       "CLMGS_BLOCK_SCAN": "1"}),
+    ("cull+mxu+scan", {"CLMGS_PACK_GRADS": "0", "CLMGS_TILE_CULL": "1",
+                       "CLMGS_MXU_GEOM": "1", "CLMGS_BLOCK_SCAN": "1"}),
 ]
 
 
