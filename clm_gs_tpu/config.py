@@ -166,6 +166,10 @@ class TpuParams:
     mesh_shape: str = ""  # e.g. "4" or "2x4"; empty = all devices, 1D
     shard_gaussians: bool = True
     isect_cap: int = 2 ** 20  # initial instance-buffer capacity (auto-grows)
+    # multi-chip: global visible-set budget for the cross-chip attribute
+    # gather (parallel/shard.py); per-device gathered bytes = gather_cap * 48.
+    # Auto-grows like isect_cap; 0 disables budgeting (full-capacity gather).
+    gather_cap: int = 2 ** 20
     capacity_granule: int = 65_536
     retention: bool = True  # clm_offload: H/D/G delta transfers between cameras
     # cap the longer image side during eval renders (integer downsample of

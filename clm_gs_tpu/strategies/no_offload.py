@@ -28,6 +28,9 @@ class StepOut(NamedTuple):
     losses: jnp.ndarray  # (bsz,)
     max_isects: jnp.ndarray  # () — for host-side isect_cap adaptation
     visible_any: jnp.ndarray  # (C,) bool
+    # multi-chip only: peak per-(camera, shard) visible count, for host-side
+    # gather_cap adaptation (parallel/shard.py budgeted compaction)
+    max_shard_vis: jnp.ndarray = None
 
 
 @partial(

@@ -155,6 +155,7 @@ def training(cfg: Config):
     )
     dataset = scene.train_dataset(bsz)
     isect_cap = cfg.tpu.isect_cap
+    gather_cap = cfg.tpu.gather_cap  # multi-chip visible-gather budget
     e2e = End2endTimer()
     timers = Timer(enabled=cfg.bench.enable_timer)
 
@@ -294,13 +295,14 @@ def training(cfg: Config):
             mesh, dsh = sharded_step
             # per-call cache (NOT on the function object: a stale mesh from a
             # previous training() call in the same process must never be hit)
-            key = (W, H, isect_cap, cfg.aux.sparse_adam)
+            key = (W, H, isect_cap, gather_cap, cfg.aux.sparse_adam)
             if key not in sharded_fns:
                 sharded_fns[key] = make_sharded_train_step(
                     mesh, W, H, isect_cap, sparse_adam=cfg.aux.sparse_adam,
                     lambda_dssim=cfg.opt.lambda_dssim,
                     loss_scale=cfg.opt.lr_scale_loss,
                     stop_update_param=cfg.debug.stop_update_param,
+                    gather_cap=gather_cap,
                 )
             cb = jax.tree.map(lambda x: jax.device_put(x, dsh), cb)
             gt = jax.device_put(gt, dsh)
@@ -371,6 +373,17 @@ def training(cfg: Config):
             # steady-state slot overhang drops from ~1.31x to ~1.2x
             isect_cap = round_up(int(mi * 1.15), 2**17)
             logger.write(f"isect_cap -> {isect_cap}\n")
+
+        # adaptive visible-gather budget for the sharded step (same bucketed
+        # growth; a triggering batch rendered with surplus rows dropped, like
+        # an isect_cap overflow batch)
+        if (sharded_step is not None and gather_cap
+                and out.max_shard_vis is not None):
+            n_gauss_ax = sharded_step[0].shape["gauss"]
+            mv = int(out.max_shard_vis)
+            if mv > 0.93 * (gather_cap // n_gauss_ax):
+                gather_cap = round_up(int(mv * n_gauss_ax * 1.15), 2**17)
+                logger.write(f"gather_cap -> {gather_cap}\n")
 
         # ---- eval ----
         if any(

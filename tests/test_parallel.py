@@ -124,3 +124,120 @@ def test_shard_footprint_scales_down():
         db = jax.device_put(np.zeros((4, 8), np.float32), data_sharding(mesh))
         rows = {s.data.shape[0] for s in db.addressable_shards}
         assert rows == {4 // (4 // n_gauss_shards)}
+
+
+def _spread_scene(seed=9):
+    """A scene whose alive rows span ALL of capacity (densify-style clustering
+    in low indices would starve high shards) and whose cameras see only a
+    subset of gaussians — so a sub-capacity gather budget is exercised."""
+    from tests.test_train_synthetic import _scene as _base_scene
+
+    state, cb = _base_scene(n=CAP, seed=seed)
+    # push a band of gaussians far behind every camera: per-camera visible
+    # count drops well below capacity while alive stays full
+    xyz = np.asarray(state.params.xyz).copy()
+    rng = np.random.RandomState(seed)
+    far = rng.rand(CAP) < 0.5
+    xyz[far] *= 40.0  # outside every frustum
+    from dataclasses import replace
+
+    params = replace(state.params, xyz=jnp.asarray(xyz))
+    return replace(state, params=params), cb
+
+
+from tests.test_train_synthetic import CAP  # noqa: E402
+
+
+def test_budgeted_gather_matches_unbudgeted():
+    """With a gather budget that covers the visible working set, the sharded
+    step must be numerically identical to the unbudgeted (full-capacity)
+    gather — only the cross-chip buffer shrinks. This is the VERDICT-r2
+    scaling requirement: per-device gathered bytes ~ visible set, not C."""
+    state, cb = _spread_scene()
+    gts = _render_gts(state, cb)
+    mesh = make_mesh("1x4", jax.devices()[:4])
+    state_sh = shard_state(state, mesh)
+    cb_sh = jax.tree.map(lambda x: jax.device_put(x, data_sharding(mesh)), cb)
+    gts_sh = jax.device_put(gts, data_sharding(mesh))
+
+    full = make_sharded_train_step(mesh, W, H, ISECT_CAP)
+    s1, o1, out1 = full(
+        state_sh, init_adam(state_sh.params), cb_sh, gts_sh, 3, LRS,
+        AdamConfig(), BG,
+    )
+    mv = int(out1.max_shard_vis)
+    budget = 3 * CAP // 4  # vs_cap = 24 < C_local = 32: real shrink exercised
+    assert mv <= budget // 4, (
+        f"scene too dense for the test: max_shard_vis={mv}"
+    )
+
+    budgeted = make_sharded_train_step(mesh, W, H, ISECT_CAP, gather_cap=budget)
+    s2, o2, out2 = budgeted(
+        state_sh, init_adam(state_sh.params), cb_sh, gts_sh, 3, LRS,
+        AdamConfig(), BG,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.losses), np.asarray(out2.losses), rtol=1e-5, atol=1e-7
+    )
+    for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1.params, name)),
+            np.asarray(getattr(s2.params, name)),
+            rtol=1e-4, atol=1e-6, err_msg=name,
+        )
+
+
+def test_budgeted_gather_shrinks_gathered_bytes():
+    """The all-gather operands in the lowered program must scale with the
+    budget, not with capacity: gather_cap = C/2 halves every gathered
+    attribute buffer (the round-2 gap: full-(C,12) gathers made per-chip
+    rasterize memory independent of the gauss axis)."""
+    import re
+
+    state, cb = _spread_scene()
+    gts = _render_gts(state, cb)
+    mesh = make_mesh("1x4", jax.devices()[:4])
+    state_sh = shard_state(state, mesh)
+    cb_sh = jax.tree.map(lambda x: jax.device_put(x, data_sharding(mesh)), cb)
+    gts_sh = jax.device_put(gts, data_sharding(mesh))
+
+    def gathered_rows(step):
+        txt = step.lower(
+            state_sh, init_adam(state_sh.params), cb_sh, gts_sh, 3, LRS,
+            AdamConfig(), BG,
+        ).as_text()
+        # means2d all-gather result: "... -> tensor<ROWSx2xf32>" on the
+        # stablehlo all_gather line
+        rows = [
+            int(m.group(1))
+            for m in re.finditer(
+                r'all_gather.*?->\s*tensor<(\d+)x2xf32>', txt
+            )
+        ]
+        assert rows, "no 2-col all_gather found in lowered text"
+        return max(rows)
+
+    full_rows = gathered_rows(make_sharded_train_step(mesh, W, H, ISECT_CAP))
+    budget_rows = gathered_rows(
+        make_sharded_train_step(mesh, W, H, ISECT_CAP, gather_cap=CAP // 2)
+    )
+    assert full_rows == CAP, full_rows
+    assert budget_rows == CAP // 2, budget_rows
+
+
+def test_budgeted_gather_overflow_reports_demand():
+    """An undersized budget must not crash: surplus rows drop for that batch
+    and max_shard_vis reports the true demand so the trainer can grow."""
+    state, cb = _scene(seed=5)  # dense scene, alive clustered low
+    gts = _render_gts(state, cb)
+    mesh = make_mesh("1x4", jax.devices()[:4])
+    state_sh = shard_state(state, mesh)
+    cb_sh = jax.tree.map(lambda x: jax.device_put(x, data_sharding(mesh)), cb)
+    gts_sh = jax.device_put(gts, data_sharding(mesh))
+    tiny = make_sharded_train_step(mesh, W, H, ISECT_CAP, gather_cap=16)
+    s, o, out = tiny(
+        state_sh, init_adam(state_sh.params), cb_sh, gts_sh, 3, LRS,
+        AdamConfig(), BG,
+    )
+    assert int(out.max_shard_vis) > 16 // 4  # demand above the shard budget
+    assert np.isfinite(np.asarray(out.losses)).all()
