@@ -165,6 +165,12 @@ class TpuParams:
 
     mesh_shape: str = ""  # e.g. "4" or "2x4"; empty = all devices, 1D
     shard_gaussians: bool = True
+    # multi-host bootstrap (jax.distributed). On a TPU pod slice leave all
+    # three unset (auto-detected); for CPU CI / manual clusters set
+    # coordinator "host:port", the process count, and this process's id.
+    dist_coordinator: str = ""
+    dist_num_processes: int = 0
+    dist_process_id: int = -1
     isect_cap: int = 2 ** 20  # initial instance-buffer capacity (auto-grows)
     # multi-chip: global visible-set budget for the cross-chip attribute
     # gather (parallel/shard.py); per-device gathered bytes = gather_cap * 48.

@@ -62,12 +62,16 @@ def shard_capacity_tree(tree, mesh: Mesh, capacity: int):
     """Place every (capacity, ...) leaf of a pytree on the gauss axis and
     everything else replicated. Used both for initial placement and to
     restore layouts after host-side capacity growth / densification
-    (jnp.pad and gather outputs otherwise land wherever XLA put them)."""
+    (jnp.pad and gather outputs otherwise land wherever XLA put them).
+    Multi-process meshes route through put_global (device_put cannot build
+    arrays spanning non-addressable devices)."""
+    from clm_gs_tpu.parallel.multihost import put_global
+
     gs = gauss_sharding(mesh)
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
-            return jax.device_put(x, gs)
-        return jax.device_put(x, replicated(mesh))
+            return put_global(x, gs)
+        return put_global(x, replicated(mesh))
 
     return jax.tree.map(place, tree)

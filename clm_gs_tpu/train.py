@@ -304,8 +304,10 @@ def training(cfg: Config):
                     stop_update_param=cfg.debug.stop_update_param,
                     gather_cap=gather_cap,
                 )
-            cb = jax.tree.map(lambda x: jax.device_put(x, dsh), cb)
-            gt = jax.device_put(gt, dsh)
+            from clm_gs_tpu.parallel.multihost import put_global
+
+            cb = jax.tree.map(lambda x: put_global(x, dsh), cb)
+            gt = put_global(gt, dsh)
             state, opt_state, out = sharded_fns[key](
                 state, opt_state, cb, gt, sh_degree, lrs, adam_cfg, background
             )
@@ -643,6 +645,10 @@ def _save_eval_image(cfg, iteration, split, cam, img, gt):
 
 def main(argv=None):
     cfg = parse_config(argv)
+    # multi-host bootstrap must precede every other backend touch
+    from clm_gs_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize(cfg)
     if cfg.debug.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
     np.random.seed(cfg.debug.seed)

@@ -106,7 +106,7 @@ def main():
     means2d, depths, radii, conics = (
         proj.means2d[0], proj.depths[0], proj.radii[0], proj.conics[0],
     )
-    tw, th = -(-W // 16), -(-H // 16)
+    tw, th = -(-W // R.TILE_W), -(-H // R.TILE_H)
     cap_round = -(-ISECT_CAP // R.K) * R.K
 
     # ---- 4. binning ----
@@ -114,8 +114,8 @@ def main():
     (ext, _) = timeit("tight_extents", ext_fn, conics, opac, radii)
 
     def binning(m, r, d, rx, ry):
-        return T.isect_tiles_aligned(m, r, d, 16, tw, th, cap_round, R.ALIGN,
-                                     extents=(rx, ry))
+        return T.isect_tiles_aligned(m, r, d, (R.TILE_W, R.TILE_H), tw, th,
+                                     cap_round, R.ALIGN, extents=(rx, ry))
 
     (aligned, _) = timeit("binning(aligned)", jax.jit(binning), means2d, radii,
                           depths, ext[0], ext[1])
@@ -198,7 +198,7 @@ def main():
 
     @jax.jit
     def depth_sort(m, r, d, rx, ry):
-        x0, x1, y0, y1 = tile_bbox(m, rx, ry, 16, tw, th)
+        x0, x1, y0, y1 = tile_bbox(m, rx, ry, (R.TILE_W, R.TILE_H), tw, th)
         geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
         valid_g = (r > 0) & (rx > 0) & (ry > 0)
         cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
@@ -244,7 +244,7 @@ def main():
     @jax.jit
     def hist_corners(m, rx, ry, r):
         # alternative: per-gaussian 4-corner +-1 scatter + 2D cumsum
-        x0, x1, y0, y1 = tile_bbox(m, rx, ry, 16, tw, th)
+        x0, x1, y0, y1 = tile_bbox(m, rx, ry, (R.TILE_W, R.TILE_H), tw, th)
         valid = (r > 0) & (rx > 0) & (ry > 0)
         one = jnp.where(valid, 1, 0)
         g = jnp.zeros((th + 1) * (tw + 1), jnp.int32)
