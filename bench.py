@@ -232,6 +232,7 @@ def main():
     # the offload strategies' sec_per_batch is transfer-floor-bound here —
     # on a TPU VM (H2D/D2H >= 30 GB/s) the same transfers take ~1000x less.
     tunnel = _tunnel_probe(env)
+    pinned_ok = _pinned_host_probe(env)
     headline = results.get("no_offload", {}).get("mpix_s")
     baseline_mpix_s = 30000 / 734.0 * (W * H / 1e6)  # 4090 bicycle no_offload
     print(
@@ -245,6 +246,7 @@ def main():
                 else 0.0,
                 "strategies": results,
                 "tunnel_h2d_gbps": tunnel,
+                "pinned_host_supported": pinned_ok,
                 "note": (
                     "offload sec_per_batch is bound by this sandbox's "
                     "host<->chip tunnel bandwidth (tunnel_h2d_gbps), not by "
@@ -254,6 +256,34 @@ def main():
             }
         )
     )
+
+
+def _pinned_host_probe(env):
+    """Whether this backend compiles the pinned_host SH transport
+    (utils/hostmem.probe) — the --pinned_host flag only takes effect where
+    this is true. Subprocess: keeps the chip claim out of the parent."""
+    plat = os.environ.get("CLMGS_BENCH_PLATFORM")
+    plat_line = (
+        f"import jax; jax.config.update('jax_platforms', {plat!r})\n"
+        if plat else ""
+    )
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        f"{plat_line}"
+        "from clm_gs_tpu.utils.hostmem import probe\n"
+        "print('PINNED', probe())\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300, env=env,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("PINNED"):
+                return line.split()[1] == "True"
+    except Exception:
+        pass
+    return None
 
 
 def _tunnel_probe(env, mb: int = 32):

@@ -178,6 +178,11 @@ class TpuParams:
     gather_cap: int = 2 ** 20
     capacity_granule: int = 65_536
     retention: bool = True  # clm_offload: H/D/G delta transfers between cameras
+    # clm_offload: serve SH fetches from an XLA `pinned_host` memory-space
+    # mirror (compiled host-DMA gather) instead of numpy + device_put. Takes
+    # effect only where the backend accepts host-space programs
+    # (utils/hostmem.probe(); bench.py reports the probe result).
+    pinned_host: bool = False
     # cap the longer image side during eval renders (integer downsample of
     # render + GT); 0 = full resolution
     eval_res_cap: int = 0

@@ -75,22 +75,40 @@ class ClmContext:
     scatter_work_s: float = 0.0
     adam_work_s: float = 0.0
     n_batches: int = 0
+    # optional pinned_host transport (utils/hostmem.PinnedShTable): a
+    # host-memory-space mirror of sh_host serving the per-camera SH fetches
+    # via a compiled host-DMA gather (--pinned_host + backend support)
+    pinned: object = None
 
     @property
     def host_work_s(self) -> float:
         return self.scatter_work_s + self.adam_work_s
 
 
+def _maybe_pinned(cfg, sh_host):
+    """PinnedShTable when --pinned_host is set AND the backend compiles
+    host-space programs; None otherwise (numpy + device_put fallback)."""
+    if not getattr(cfg.tpu, "pinned_host", False):
+        return None
+    from clm_gs_tpu.utils import hostmem
+
+    if not hostmem.probe():
+        return None
+    return hostmem.PinnedShTable(sh_host)
+
+
 def make_context_empty(cfg, capacity: int, adam_cfg: AdamConfig) -> ClmContext:
     """Zero-filled context (buffers restored afterwards via restore_extra)."""
+    sh_host = np.zeros((capacity, SH_COLS), np.float32)
     return ClmContext(
-        sh_host=np.zeros((capacity, SH_COLS), np.float32),
+        sh_host=sh_host,
         sh_grad_host=np.zeros((capacity, SH_COLS), np.float32),
         adam=native.HostAdam(
             capacity, SH_COLS, np.zeros(SH_COLS, np.float32),
             betas=adam_cfg.betas, eps=adam_cfg.eps,
         ),
         v_cap=max(round_up(min(capacity, 1 << 16), 1 << 12), 4096),
+        pinned=_maybe_pinned(cfg, sh_host),
     )
 
 
@@ -108,6 +126,7 @@ def make_context(cfg, state: GaussianState, adam_cfg: AdamConfig) -> ClmContext:
             betas=adam_cfg.betas, eps=adam_cfg.eps,
         ),
         v_cap=max(round_up(min(C, 1 << 16), 1 << 12), 4096),
+        pinned=_maybe_pinned(cfg, sh_host),
     )
 
 
@@ -133,6 +152,10 @@ def grow_context(ctx: ClmContext, new_cap: int, cfg) -> ClmContext:
         new[: len(old)] = old
         setattr(ctx, name, new)
     ctx.adam.grow(new_cap)
+    if ctx.pinned is not None:
+        from clm_gs_tpu.utils.hostmem import PinnedShTable
+
+        ctx.pinned = PinnedShTable(ctx.sh_host, kind=ctx.pinned.kind)
     return ctx
 
 
@@ -356,7 +379,12 @@ def train_one_batch(
             # idx >= C inside the micro step.
             tm.start("clm.fetch_h2d")
             gather_idx = np.where(idx_k < C, idx_k, 0).astype(np.int32)
-            shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+            if ctx.pinned is not None:
+                # compiled host-DMA gather from the pinned_host mirror
+                # (send_shs2gpu_stream analogue, engine.py:499-505)
+                shc = ctx.pinned.fetch(gather_idx)
+            else:
+                shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
             if grad_buf is None:
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
             tm.stop("clm.fetch_h2d", sync=shc)
@@ -400,13 +428,21 @@ def train_one_batch(
             pd, pn, hn, gp, gp_raw, hn_raw = _classify_transition(
                 valid_ids, next_ids, ctx.v_cap
             )
-            h_rows = np.zeros((len(hn), SH_COLS), np.float32)
-            if len(hn_raw):
-                h_rows[: len(hn_raw)] = native.gather_rows(
-                    ctx.sh_host, next_ids[hn_raw].astype(np.int32)
-                )
+            if ctx.pinned is not None:
+                # rows beyond the hn_raw prefix fetch row 0 — their target
+                # positions are padded to v_cap and dropped by the scatter
+                ids_p = np.zeros(len(hn), np.int32)
+                ids_p[: len(hn_raw)] = next_ids[hn_raw]
+                h_dev = ctx.pinned.fetch(ids_p)
+            else:
+                h_rows = np.zeros((len(hn), SH_COLS), np.float32)
+                if len(hn_raw):
+                    h_rows[: len(hn_raw)] = native.gather_rows(
+                        ctx.sh_host, next_ids[hn_raw].astype(np.int32)
+                    )
+                h_dev = jax.device_put(h_rows)
             shc, grad_buf, g_rows = _advance_working_set(
-                shc, grad_buf, jax.device_put(h_rows),
+                shc, grad_buf, h_dev,
                 jax.device_put(pd), jax.device_put(pn),
                 jax.device_put(hn), jax.device_put(gp),
             )
@@ -465,6 +501,17 @@ def train_one_batch(
     ctx.trailing_s += time.perf_counter() - t_dev_done
     ctx.n_batches += 1
 
+    # pinned_host mirror: reflect the rows the host Adam rewrote this batch
+    # (host->host donated scatter; the reference needs no mirror because its
+    # CPU Adam writes the very pinned buffer the GPU kernel DMAs from)
+    if ctx.pinned is not None and not stop_update:
+        touched = [fs for fs in finish_sets if len(fs)]
+        if not sparse_adam and len(never_visible):
+            touched.append(never_visible)
+        if touched:
+            rows = np.concatenate(touched)
+            ctx.pinned.update_rows(rows, ctx.sh_host[rows])
+
     new_state = GaussianState(
         params=new_params, alive=state.alive, n_alive=state.n_alive,
         xyz_grad_accum=state.xyz_grad_accum + accum,
@@ -501,6 +548,8 @@ def post_densify(ctx: ClmContext, state: GaussianState, info):
     ctx.adam.exp_avg[written] = 0.0
     ctx.adam.exp_avg_sq[written] = 0.0
     ctx.sh_grad_host[written] = 0.0
+    if ctx.pinned is not None:
+        ctx.pinned.refresh(ctx.sh_host)  # densify is rare: full re-mirror
     return ctx
 
 
@@ -523,6 +572,8 @@ def restore_extra(ctx: ClmContext, arrays: dict) -> ClmContext:
     ctx.adam.exp_avg_sq = np.ascontiguousarray(arrays["clm.exp_avg_sq"], np.float32)
     ctx.adam.step_count = int(arrays["clm.step_count"])
     ctx.sh_grad_host = np.zeros_like(ctx.sh_host)
+    if ctx.pinned is not None:
+        ctx.pinned.refresh(ctx.sh_host)
     return ctx
 
 
@@ -542,7 +593,10 @@ def eval_one_cam(
     )
     idx_np = np.asarray(F.idx[0])
     gather_idx = np.where(idx_np < C, idx_np, 0).astype(np.int32)
-    shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+    if ctx.pinned is not None:
+        shc = ctx.pinned.fetch(gather_idx)
+    else:
+        shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
     img, n_isects = oc.eval_visible(
         p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[0],
         viewmat, Kmat, camtoworld[:3, 3], sh_degree, background,
