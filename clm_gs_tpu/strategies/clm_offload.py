@@ -159,9 +159,16 @@ def grow_context(ctx: ClmContext, new_cap: int, cfg) -> ClmContext:
     return ctx
 
 
-def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
-    """Camera order + per-position finish sets (order_calculation,
-    engine.py:135-298)."""
+def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last,
+                           n_chains: int = 1):
+    """Camera order + per-step finish sets (order_calculation,
+    engine.py:135-298).
+
+    n_chains > 1 (clm x data-parallel mesh): the TSP tour splits into
+    n_chains CONTIGUOUS segments processed in lockstep — step s runs the
+    s-th camera of every segment at once. Retention stays within a segment
+    (tour adjacency preserved); finish sets bucket by STEP, since a row may
+    finish only after every chain's step-s gradients have landed."""
     B = len(counts_np)
     order = native.find_tour(dist)
     if reorder_min_last and B > 1:
@@ -169,13 +176,17 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
         k = int(np.argmin(counts_np[order]))
         order = np.concatenate([order[k + 1 :], order[: k + 1]])
     C = len(alive_np)
+    S = B // n_chains
     # int16 keeps this 2 bytes/row: at C=100M the array is 200 MB, and the
     # scattered writes + the two full scans below are memory-bound
     last_use = np.full(C, -1, np.int16)
-    for pos, cam in enumerate(order):
-        v = idx_np[cam][: counts_np[cam]]
-        if not native.stamp_rows(last_use, v, pos):
-            last_use[v] = pos
+    # stamp in STEP-major order so ascending overwrites leave max(step)
+    for s in range(S):
+        for d in range(n_chains):
+            cam = order[d * S + s]
+            v = idx_np[cam][: counts_np[cam]]
+            if not native.stamp_rows(last_use, v, s):
+                last_use[v] = s
     # one visible-row scan + a union-sized stable argsort-split instead of a
     # full-capacity nonzero scan per camera: B scans over C rows cost 35 s
     # per batch at C=100M, bsz=64 (measured, tools/stress_host_100m.py);
@@ -185,13 +196,13 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last):
     if vis is None:
         vis = np.nonzero(last_use >= 0)[0]
     lu = last_use[vis]
-    cs = native.counting_sort_perm(lu, B)
+    cs = native.counting_sort_perm(lu, S)
     if cs is not None:
         by_pos, bucket_counts = cs
         bounds = np.cumsum(bucket_counts)[:-1]
     else:
         by_pos = np.argsort(lu, kind="stable")
-        bounds = np.cumsum(np.bincount(lu, minlength=B))[:-1]
+        bounds = np.cumsum(np.bincount(lu, minlength=S))[:-1]
     vs = vis[by_pos]
     finish_sets = (
         list(np.split(vs, bounds)) if vs.dtype == np.int32
@@ -225,6 +236,15 @@ def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
     grad_carry = jnp.zeros_like(grad_prev).at[pn].set(grad_prev[pdc], mode="drop")
     g_rows = grad_prev[gpc]  # caller slices the valid prefix after D2H
     return sh_next, grad_carry, g_rows
+
+
+@jax.jit
+def _advance_working_set_batch(sh_d, grad_d, h_d, pd_d, pn_d, hn_d, gp_d):
+    """D chains' working-set advances in one dispatch (leading axis = the
+    mesh `data` axis in the clm x data-parallel regime)."""
+    return jax.vmap(_advance_working_set)(
+        sh_d, grad_d, h_d, pd_d, pn_d, hn_d, gp_d
+    )
 
 
 def _bucket(n: int, v_cap: int) -> int:
@@ -302,10 +322,36 @@ def _drain_pending(ctx, pending, futures, grad_scale, step, stop_update):
         )
 
 
+def _drain_pending_multi(ctx, pending, futures, grad_scale, step, stop_update):
+    """Multi-chain variant: one (D, cap, 48) grad block per step, one id list
+    per chain. The finish set is submitted only after EVERY chain's step-s
+    grads have landed (a row's last use is its max step over all chains)."""
+    g_dev, ids_list, fin_rows = pending
+    t0 = time.perf_counter()
+    g_np = None
+    for d, ids in enumerate(ids_list):
+        if len(ids):
+            if g_np is None:
+                g_np = np.asarray(g_dev)
+            native.scatter_add_rows(
+                ctx.sh_grad_host, g_np[d][: len(ids)], ids, accumulate=True
+            )
+    ctx.scatter_work_s += time.perf_counter() - t0
+    if len(fin_rows) and not stop_update:
+        futures.append(
+            ctx.executor.submit(_timed_sparse_step, ctx, fin_rows, grad_scale, step)
+        )
+
+
 def train_one_batch(
     state, opt_state, ctx: ClmContext, cams, gt, sh_degree,
     lrs, adam_cfg, background, width, height, isect_cap, cfg, timers=None,
+    n_chains: int = 1, data_sharding=None,
 ):
+    """n_chains > 1: clm x data-parallel — the TSP tour splits into n_chains
+    contiguous segments processed in lockstep, D cameras per jitted dispatch
+    with the chain axis laid on the mesh `data` axis (data_sharding). Lifts
+    the round-2 `data=1` restriction for the bsz-64 BigCity regime."""
     tm = timers if timers is not None else _NULL_TIMER
     p = state.params
     C = state.capacity
@@ -332,8 +378,11 @@ def train_one_batch(
     tm.start("clm.order")
     dist = np.asarray(oc.hamming_distance_matrix(F.sample))
     alive_np = np.asarray(state.alive)
+    if n_chains > 1 and bsz % n_chains != 0:
+        n_chains = 1  # uneven split: fall back to the single chain
     order, finish_sets, never_visible = _order_and_finish_sets(
-        idx_np, counts_np, dist, alive_np, cfg.aux.reorder_by_min_sparsity_at_end
+        idx_np, counts_np, dist, alive_np,
+        cfg.aux.reorder_by_min_sparsity_at_end, n_chains=n_chains,
     )
     tm.stop("clm.order")
 
@@ -365,9 +414,136 @@ def train_one_batch(
 
     use_retention = getattr(cfg.tpu, "retention", True)
     B = len(order)
+    drain_fn = _drain_pending if n_chains == 1 else _drain_pending_multi
+
+    if n_chains > 1:
+        D = n_chains
+        S = B // D
+        seg = [order[d * S : (d + 1) * S] for d in range(D)]
+
+        def put_d(x):
+            x = jnp.asarray(x)
+            return (
+                jax.device_put(x, data_sharding)
+                if data_sharding is not None else x
+            )
+
+        shc_d = None  # (D, v_cap, 48)
+        grad_d = None
+        for s in range(S):
+            cams_s = np.array([int(seg[d][s]) for d in range(D)])
+            idxs = F.idx[cams_s]  # (D, v_cap)
+            ids_s = [idx_np[c][: int(counts_np[c])] for c in cams_s]
+
+            if shc_d is None or not use_retention:
+                tm.start("clm.fetch_h2d")
+                rows = np.stack(
+                    [
+                        native.gather_rows(
+                            ctx.sh_host,
+                            np.where(idx_np[c] < C, idx_np[c], 0).astype(
+                                np.int32
+                            ),
+                        )
+                        for c in cams_s
+                    ]
+                )
+                shc_d = put_d(rows)
+                if grad_d is None:
+                    grad_d = put_d(
+                        np.zeros((D, ctx.v_cap, SH_COLS), np.float32)
+                    )
+                tm.stop("clm.fetch_h2d", sync=shc_d)
+
+            tm.start("clm.micro")
+            out = oc.micro_step_visible_batch(
+                p.xyz, p.opacity, p.log_scale, p.quat, shc_d, idxs,
+                cams.viewmats[cams_s], cams.Ks[cams_s],
+                cams.camtoworlds[cams_s][:, :3, 3], gt[cams_s],
+                sh_degree, background, width, height, isect_cap, ctx.v_cap,
+                lambda_dssim=cfg.opt.lambda_dssim,
+                loss_scale=cfg.opt.lr_scale_loss,
+            )
+            for n in gpu_grads:
+                gpu_grads[n] = gpu_grads[n] + out.gpu_grads[n]
+            accum, denom = oc.scatter_stats(
+                accum, denom, idxs, out.probe_grad, out.radii_compact,
+                width, height,
+            )
+            vis_any = vis_any.at[jnp.minimum(idxs, C - 1)].max(idxs < C)
+            losses.append(out.losses)
+            max_isects = jnp.maximum(max_isects, out.n_isects)
+            grad_d = grad_d + out.sh_grad_compact
+            tm.stop("clm.micro", sync=out.losses)
+
+            rows_fin = finish_sets[s]
+            if s == 0 and not sparse_adam and len(never_visible):
+                rows_fin = np.concatenate([never_visible, rows_fin])
+
+            if use_retention and s + 1 < S:
+                tm.start("clm.advance")
+                cls = [
+                    _classify_transition(
+                        ids_s[d],
+                        idx_np[int(seg[d][s + 1])][
+                            : int(counts_np[int(seg[d][s + 1])])
+                        ],
+                        ctx.v_cap,
+                    )
+                    for d in range(D)
+                ]
+                # uniform static buckets across chains (one compiled shape)
+                h_cap = max(len(c[2]) for c in cls)
+                g_cap = max(len(c[3]) for c in cls)
+                pd_d = np.stack([c[0] for c in cls])
+                pn_d = np.stack([c[1] for c in cls])
+                hn_d = np.full((D, h_cap), ctx.v_cap, np.int32)
+                gp_d = np.full((D, g_cap), ctx.v_cap, np.int32)
+                h_rows = np.zeros((D, h_cap, SH_COLS), np.float32)
+                g_ids = []
+                for d in range(D):
+                    _, _, hn, gp, gp_raw, hn_raw = cls[d]
+                    hn_d[d, : len(hn)] = hn
+                    gp_d[d, : len(gp)] = gp
+                    nxt = idx_np[int(seg[d][s + 1])][
+                        : int(counts_np[int(seg[d][s + 1])])
+                    ]
+                    if len(hn_raw):
+                        h_rows[d, : len(hn_raw)] = native.gather_rows(
+                            ctx.sh_host, nxt[hn_raw].astype(np.int32)
+                        )
+                    g_ids.append(ids_s[d][gp_raw])
+                shc_d, grad_d, g_rows_d = _advance_working_set_batch(
+                    shc_d, grad_d, put_d(h_rows),
+                    put_d(pd_d), put_d(pn_d), put_d(hn_d), put_d(gp_d),
+                )
+                new_pending = (g_rows_d, g_ids, rows_fin)
+                tm.stop("clm.advance")
+            else:
+                new_pending = (grad_d, ids_s, rows_fin)
+                if use_retention:
+                    grad_d = None
+                    shc_d = None
+                else:
+                    grad_d = put_d(
+                        np.zeros((D, ctx.v_cap, SH_COLS), np.float32)
+                    )
+                    shc_d = None
+
+            try:
+                new_pending[0].copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                tm.start("clm.d2h_scatter")
+                drain_fn(ctx, pending, futures, grad_scale, step, stop_update)
+                tm.stop("clm.d2h_scatter")
+            pending = new_pending
+        losses = [l for ls in losses for l in ls]  # flatten (S, D) -> (B,)
+
     grad_buf = None  # (v_cap, 48) accumulated SH grads in current-camera layout
     shc = None
-    for pos, cam_i in enumerate(order):
+    for pos, cam_i in enumerate(order if n_chains == 1 else []):
         cam_i = int(cam_i)
         n_vis = int(counts_np[cam_i])
         idx_k = idx_np[cam_i]
@@ -495,7 +671,7 @@ def train_one_batch(
     timer.drain(losses[-1])
     t_dev_done = time.perf_counter()
     if pending is not None:
-        _drain_pending(ctx, pending, futures, grad_scale, step, stop_update)
+        drain_fn(ctx, pending, futures, grad_scale, step, stop_update)
     for f in futures:
         f.result()
     ctx.trailing_s += time.perf_counter() - t_dev_done

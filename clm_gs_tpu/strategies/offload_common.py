@@ -135,6 +135,51 @@ def micro_step_visible(
     )
 
 
+class MicroBatchOut(NamedTuple):
+    losses: jnp.ndarray  # (D,)
+    gpu_grads: dict  # full (C, ...) grads SUMMED over the D cameras
+    sh_grad_compact: jnp.ndarray  # (D, v_cap, 48)
+    probe_grad: jnp.ndarray  # (D, v_cap, 2)
+    radii_compact: jnp.ndarray  # (D, v_cap)
+    n_isects: jnp.ndarray  # () max over cameras
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "isect_cap", "v_cap", "lambda_dssim", "loss_scale",
+    ),
+)
+def micro_step_visible_batch(
+    xyz, opacity, log_scale, quat,
+    shc_d,  # (D, v_cap, 48) — one working set per parallel camera chain
+    idx_d,  # (D, v_cap)
+    viewmats_d, Ks_d, campos_d, gts_d, sh_degree, background,
+    width: int, height: int, isect_cap: int, v_cap: int,
+    lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0,
+) -> MicroBatchOut:
+    """D cameras' micro-steps in ONE dispatch (the clm x data-parallel mesh:
+    the leading D axis is sharded over the mesh's `data` axis, so each chip
+    group renders its own camera chain while GSPMD gathers the gauss-sharded
+    attributes; per-camera semantics identical to micro_step_visible)."""
+    outs = jax.vmap(
+        lambda shc, idx, vm, K, cp, gt: micro_step_visible(
+            xyz, opacity, log_scale, quat, shc, idx, vm, K, cp, gt,
+            sh_degree, background, width, height, isect_cap, v_cap,
+            lambda_dssim=lambda_dssim, loss_scale=loss_scale,
+        )
+    )(shc_d, idx_d, viewmats_d, Ks_d, campos_d, gts_d)
+    return MicroBatchOut(
+        losses=outs.loss,
+        gpu_grads={k: jnp.sum(v, axis=0) for k, v in outs.gpu_grads.items()},
+        sh_grad_compact=outs.sh_grad_compact,
+        probe_grad=outs.probe_grad,
+        radii_compact=outs.radii_compact,
+        n_isects=jnp.max(outs.n_isects),
+    )
+
+
 @partial(jax.jit, static_argnames=("width", "height", "isect_cap", "v_cap"))
 def eval_visible(
     xyz, opacity, log_scale, quat, sh_compact, idx,

@@ -321,9 +321,23 @@ def training(cfg: Config):
                 stop_update_param=cfg.debug.stop_update_param,
             )
         else:
+            clm_kwargs = {}
+            if strategy_name == "clm_offload" and mesh is not None:
+                n_data = mesh.shape["data"]
+                if n_data > 1 and bsz % n_data == 0:
+                    # clm x data-parallel: run n_data camera chains in
+                    # lockstep, the chain axis on the mesh data axis
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    clm_kwargs = dict(
+                        n_chains=n_data,
+                        data_sharding=NamedSharding(
+                            mesh, PartitionSpec("data")
+                        ),
+                    )
             state, opt_state, strategy_ctx, out = strategy.train_one_batch(
                 state, opt_state, strategy_ctx, cb, gt, sh_degree, lrs, adam_cfg,
-                background, W, H, isect_cap, cfg, timers=timers,
+                background, W, H, isect_cap, cfg, timers=timers, **clm_kwargs,
             )
         timers.stop("train_step", sync=out.losses)
 

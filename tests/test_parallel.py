@@ -241,3 +241,58 @@ def test_budgeted_gather_overflow_reports_demand():
     )
     assert int(out.max_shard_vis) > 16 // 4  # demand above the shard budget
     assert np.isfinite(np.asarray(out.losses)).all()
+
+
+def test_sharded_clm_data_chains_matches_single_device():
+    """clm x (data=2, gauss=2) mesh: two camera chains in lockstep over
+    gauss-sharded HBM attrs must reproduce the single-device clm trajectory."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from clm_gs_tpu.config import Config, init_config
+    from clm_gs_tpu.parallel.mesh import shard_capacity_tree
+    from clm_gs_tpu.strategies import clm_offload
+    from clm_gs_tpu.optim import AdamConfig as AC
+
+    state, cb = _scene(seed=11)
+    gts = _render_gts(state, cb)
+
+    def mk_cfg():
+        cfg = Config()
+        cfg.aux.clm_offload = True
+        cfg.opt.bsz = gts.shape[0]
+        cfg.opt.lr_scale_mode = "accumu"
+        init_config(cfg)
+        return cfg
+
+    def run(mesh, n_chains):
+        cfg = mk_cfg()
+        s = state
+        ctx = clm_offload.make_context(cfg, s, AC())
+        s = clm_offload.strip_device_sh(s)
+        kw = {}
+        if mesh is not None:
+            s = shard_capacity_tree(s, mesh, s.capacity)
+            kw = dict(
+                n_chains=n_chains,
+                data_sharding=NamedSharding(mesh, PartitionSpec("data")),
+            )
+        opt = init_adam(s.params)
+        losses = []
+        for _ in range(3):
+            s, opt, ctx, out = clm_offload.train_one_batch(
+                s, opt, ctx, cb, gts, 3, LRS, AC(), BG, W, H, ISECT_CAP, cfg,
+                **kw,
+            )
+            losses.append(np.sort(np.asarray(out.losses)))
+        return clm_offload.materialize(s, ctx), np.array(losses)
+
+    s1, l1 = run(None, 1)
+    mesh = make_mesh("2x2", jax.devices()[:4])
+    s2, l2 = run(mesh, 2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+    for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1.params, name)),
+            np.asarray(getattr(s2.params, name)),
+            rtol=1e-3, atol=1e-5, err_msg=name,
+        )

@@ -235,3 +235,62 @@ class TestClmDensifyReplay:
         np.testing.assert_array_equal(
             ctx.sh_host[alive_new], sh_dev[alive_new]
         )
+
+
+class TestClmDataChains:
+    def test_chain_loop_matches_single_chain(self):
+        """clm x data-parallel (n_chains=2): the lockstep chain loop must
+        reproduce the single-chain trajectory — same math, different
+        batching/ordering of the per-camera dispatches."""
+        state0, cb, gts = _perturbed(seed=4)
+
+        def run(n_chains):
+            cfg = _mk_cfg("clm_offload")
+            ctx = clm_offload.make_context(cfg, state0, AdamConfig())
+            state = clm_offload.strip_device_sh(state0)
+            opt = init_adam(state.params)
+            losses = []
+            for _ in range(4):
+                state, opt, ctx, out = clm_offload.train_one_batch(
+                    state, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+                    ISECT_CAP, cfg, n_chains=n_chains,
+                )
+                losses.append(np.sort(np.asarray(out.losses)))
+            return clm_offload.materialize(state, ctx), np.array(losses)
+
+        s1, l1 = run(1)
+        s2, l2 = run(2)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-7)
+        for name in ("xyz", "opacity", "log_scale", "quat", "sh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s1.params, name)),
+                np.asarray(getattr(s2.params, name)),
+                rtol=1e-4, atol=1e-6, err_msg=name,
+            )
+
+    def test_chain_loop_no_retention(self):
+        state0, cb, gts = _perturbed(seed=6)
+        cfg = _mk_cfg("clm_offload")
+        cfg.tpu.retention = False
+        ctx = clm_offload.make_context(cfg, state0, AdamConfig())
+        state = clm_offload.strip_device_sh(state0)
+        opt = init_adam(state.params)
+        for _ in range(2):
+            state, opt, ctx, out = clm_offload.train_one_batch(
+                state, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+                ISECT_CAP, cfg, n_chains=2,
+            )
+        assert np.isfinite(np.asarray(out.losses)).all()
+
+    def test_chain_loop_uneven_bsz_falls_back(self):
+        """bsz not divisible by n_chains: silently run the single chain."""
+        state0, cb, gts = _perturbed(seed=2)
+        cfg = _mk_cfg("clm_offload")
+        ctx = clm_offload.make_context(cfg, state0, AdamConfig())
+        state = clm_offload.strip_device_sh(state0)
+        opt = init_adam(state.params)
+        state, opt, ctx, out = clm_offload.train_one_batch(
+            state, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+            ISECT_CAP, cfg, n_chains=3,  # bsz = 4
+        )
+        assert out.losses.shape == (4,)
