@@ -453,10 +453,36 @@ def _gather_attrs(table, aligned, slot_cap):
     scatters are effectively serial): instances of one gaussian are contiguous
     in pre-sort slot order, so per-gaussian gradient sums are an
     inverse-permutation row gather + one cumulative sum + segment-boundary
-    differences — all sort/gather/cumsum ops TPUs run at bandwidth."""
+    differences — all sort/gather/cumsum ops TPUs run at bandwidth.
+
+    CLMGS_GATHER_PACK (A/B gates; tools/gather_probe.py measured the 9-col
+    random-id gather 10-18x slower than 16-col / complex64-packed layouts):
+      "pad16" — gather from a zero-padded (N, 16) table,
+      "c64"   — pack f32 column pairs into complex64 (LOSSLESS: complex(a,b)
+                .real == a bitwise), gather (N, 4) c64 + (N,) f32, unpack."""
     ids = aligned.ids
     valid = (ids >= 0)[:, None]
-    return jnp.where(valid, table[jnp.maximum(ids, 0)], 0.0)
+    idc = jnp.maximum(ids, 0)
+    mode = os.environ.get("CLMGS_GATHER_PACK", "")
+    if mode == "pad16":
+        rows16 = jnp.pad(table, ((0, 0), (0, 16 - NGC)))[idc]
+        return jnp.where(valid, rows16[:, :NGC], 0.0)
+    if mode == "c64":
+        tc = jnp.stack(
+            [
+                jax.lax.complex(table[:, 2 * j], table[:, 2 * j + 1])
+                for j in range(4)
+            ],
+            axis=1,
+        )
+        rc = tc[idc]  # (cap, 4) complex64
+        r8 = table[:, 8][idc]
+        cols = []
+        for j in range(4):
+            cols += [jnp.real(rc[:, j]), jnp.imag(rc[:, j])]
+        cols.append(r8)
+        return jnp.where(valid, jnp.stack(cols, axis=1), 0.0)
+    return jnp.where(valid, table[idc], 0.0)
 
 
 def _gather_attrs_fwd(table, aligned, slot_cap):

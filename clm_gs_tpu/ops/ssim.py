@@ -84,14 +84,29 @@ def combined_loss(image, image_gt, lambda_dssim: float = LAMBDA_DSSIM):
 
 
 def l1_loss_pixelwise_masked(img, gt, mask):
-    """Masked pixelwise L1 (loss_utils.py:88-106): mean over masked pixels."""
+    """Masked pixelwise L1 reduced to a mean over masked pixels."""
     diff = jnp.abs(img - gt) * mask
     return jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * img.shape[0], 1.0)
 
 
 @partial(jax.jit, static_argnames=("window_size",))
 def ssim_masked(img, gt, mask, window_size: int = WINDOW_SIZE):
-    """Masked SSIM (loss_utils.py:108-132): mean of the SSIM map over masked
-    pixels only."""
+    """Masked SSIM: mean of the SSIM map over masked pixels only."""
     m = _ssim_map(img, gt, window_size)
     return jnp.sum(m * mask) / jnp.maximum(jnp.sum(mask) * img.shape[0], 1.0)
+
+
+@jax.jit
+def pixelwise_l1_with_mask(img, gt, mask):
+    """Exact analogue of the reference's pixelwise masked L1
+    (utils/loss_utils.py:88-95): returns the (3, H, W) map of |img - gt|
+    zeroed outside the (H, W) mask — no reduction."""
+    return jnp.abs(img - gt) * mask[None, :, :]
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def pixelwise_ssim_with_mask(img, gt, mask, window_size: int = WINDOW_SIZE):
+    """Exact analogue of the reference's pixelwise masked SSIM
+    (utils/loss_utils.py:98-132): the per-pixel SSIM map (same 11x11
+    sigma-1.5 window, zero same-padding) zeroed outside the mask."""
+    return _ssim_map(img, gt, window_size) * mask[None, :, :]

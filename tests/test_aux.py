@@ -63,6 +63,55 @@ class TestSSIM:
         g = jax.grad(lambda x: combined_loss(x, jnp.zeros_like(x)))(a)
         assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
 
+    def test_pixelwise_masked_match_torch_reference(self):
+        """pixelwise_l1_with_mask / pixelwise_ssim_with_mask vs a direct
+        torch re-implementation of the reference formulas
+        (utils/loss_utils.py:88-132): per-pixel maps, not reductions."""
+        import torch
+        import torch.nn.functional as Fc
+
+        from clm_gs_tpu.ops.ssim import (
+            pixelwise_l1_with_mask, pixelwise_ssim_with_mask,
+        )
+
+        rng = np.random.RandomState(4)
+        a = rng.rand(3, 30, 34).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.randn(3, 30, 34), 0, 1).astype(np.float32)
+        mask = (rng.rand(30, 34) > 0.4)
+
+        got_l1 = np.asarray(
+            pixelwise_l1_with_mask(jnp.asarray(a), jnp.asarray(b),
+                                   jnp.asarray(mask.astype(np.float32)))
+        )
+        want_l1 = np.abs(a - b) * mask[None]
+        np.testing.assert_allclose(got_l1, want_l1, atol=1e-7)
+
+        # torch reference SSIM map (11x11 gaussian window, sigma 1.5,
+        # zero same-padding, depthwise conv)
+        xs = torch.arange(11, dtype=torch.float32) - 5
+        g = torch.exp(-(xs ** 2) / (2 * 1.5 ** 2))
+        g = g / g.sum()
+        w = (g[:, None] @ g[None, :]).expand(3, 1, 11, 11).contiguous()
+        ta, tb = torch.from_numpy(a)[None], torch.from_numpy(b)[None]
+
+        def conv(x):
+            return Fc.conv2d(x, w, padding=5, groups=3)
+
+        mu1, mu2 = conv(ta), conv(tb)
+        s1 = conv(ta * ta) - mu1 ** 2
+        s2 = conv(tb * tb) - mu2 ** 2
+        s12 = conv(ta * tb) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        want_ssim = (
+            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        )[0].numpy() * mask[None]
+        got_ssim = np.asarray(
+            pixelwise_ssim_with_mask(jnp.asarray(a), jnp.asarray(b),
+                                     jnp.asarray(mask.astype(np.float32)))
+        )
+        np.testing.assert_allclose(got_ssim, want_ssim, atol=2e-5)
+
 
 class TestConfig:
     def test_parse_and_roundtrip(self, tmp_path):

@@ -39,6 +39,8 @@ CONFIGS = [
     ("cull+mxu+pack", {"CLMGS_TILE_CULL": "1", "CLMGS_MXU_GEOM": "1",
                        "CLMGS_PACK_GRADS": "1"}),
     ("block_scan", {"CLMGS_BLOCK_SCAN": "1"}),
+    ("gather_pad16", {"CLMGS_GATHER_PACK": "pad16"}),
+    ("gather_c64", {"CLMGS_GATHER_PACK": "c64"}),
     ("cull+mxu+scan", {"CLMGS_PACK_GRADS": "0", "CLMGS_TILE_CULL": "1",
                        "CLMGS_MXU_GEOM": "1", "CLMGS_BLOCK_SCAN": "1"}),
 ]

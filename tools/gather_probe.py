@@ -77,11 +77,12 @@ def main():
 
     timeit("gather 4xc64 + 1xf32 (lossless)", g5c, tc, t9, ids)
 
-    @jax.jit
-    def g1c(tc, ids):
-        return tc[ids]
 
-    timeit("gather (N,4) c64 only", g1c, tc, ids)
+    # id-ordering sensitivity: the real binning emits ids grouped by tile
+    # with in-tile depth order — test fully-sorted as the other extreme
+    ids_sorted = jnp.sort(ids)
+    timeit("gather (N,9) f32 SORTED ids", g9, table, ids_sorted)
+    timeit("gather (N,16) f32 SORTED ids", g16, table16, ids_sorted)
 
     # single-column scaling: per-column cost model check
     t1 = table[:, 0]
