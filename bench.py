@@ -101,11 +101,12 @@ def run_child(strategy: str):
 
     # warmup: compile + (for offload strategies) first full SH fetch; then
     # adapt the isect capacity to this scene exactly like the trainer's
-    # steady-state bucketing (train.py round_up(max_isects*1.15, 2**17))
+    # steady-state bucketing (train.py round_up(max_isects*margin, 2**17))
     isect_cap = ISECT_CAP
     state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)
     mi = int(out.max_isects)
-    snug = -(-int(mi * 1.15) // 2**17) * 2**17
+    margin = float(os.environ.get("CLMGS_ISECT_MARGIN", "1.05"))
+    snug = -(-int(mi * margin) // 2**17) * 2**17
     if snug != isect_cap:
         isect_cap = snug
         state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)

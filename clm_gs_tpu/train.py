@@ -378,16 +378,18 @@ def training(cfg: Config):
 
         # adaptive isect capacity (bucketed growth, recompile on change).
         # Keep the margin tight: binning/gather/kernel grids all scale with the
-        # capacity, so oversizing costs real time every camera.
+        # capacity, so oversizing costs real time every camera (1.15 -> 1.05
+        # measured +4.4% end-to-end; --isect_margin to loosen). The trigger
+        # sits halfway between the post-sizing fill ratio (1/margin) and 1,
+        # so camera-to-camera variance under half the margin never re-triggers.
         mi = int(out.max_isects)
-        if mi > 0.93 * isect_cap:
+        margin = cfg.tpu.isect_margin
+        trigger = (1.0 / margin + 1.0) / 2.0
+        if mi > trigger * isect_cap:
             # 2**17 buckets: finer granularity saves ~6% of the slot-scaled
             # work (binning sort, gather, chunk grids) vs 2**18 at ~2M isects
             # for at most one extra recompile per doubling of the scene.
-            # 1.15 margin + 0.93 trigger: camera-to-camera isect counts vary
-            # only a few % at fixed N, so re-triggers stay rare while the
-            # steady-state slot overhang drops from ~1.31x to ~1.2x
-            isect_cap = round_up(int(mi * 1.15), 2**17)
+            isect_cap = round_up(int(mi * margin), 2**17)
             logger.write(f"isect_cap -> {isect_cap}\n")
 
         # adaptive visible-gather budget for the sharded step (same bucketed
