@@ -335,6 +335,10 @@ def training(cfg: Config):
                             mesh, PartitionSpec("data")
                         ),
                     )
+                    if iteration == start_iter:
+                        logger.write(
+                            f"clm data-parallel: {n_data} camera chains\n"
+                        )
             state, opt_state, strategy_ctx, out = strategy.train_one_batch(
                 state, opt_state, strategy_ctx, cb, gt, sh_degree, lrs, adam_cfg,
                 background, W, H, isect_cap, cfg, timers=timers, **clm_kwargs,
