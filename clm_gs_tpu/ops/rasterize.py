@@ -281,7 +281,8 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
     @pl.when(alive & jnp.logical_not(alldone))
     def _():
         coords = _pixel_coords(tile, tile_width)
-        g = _chunk_geometry(coords, jnp.transpose(attrs_ref[0], (1, 0)), cnv[i])
+        buf_t = jnp.transpose(attrs_ref[0], (1, 0)).astype(jnp.float32)
+        g = _chunk_geometry(coords, buf_t, cnv[i])
         done = done_ref[:] > 0.5
         w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
         contrib = jax.lax.dot_general(
@@ -338,7 +339,8 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
         v4 = v_ref[0, 0:4]
         d_tot = v_ref[0, 4:5]  # (1, P)
         T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
-        g = _chunk_geometry(coords, jnp.transpose(attrs_ref[0], (1, 0)), cnv[i])
+        buf_t = jnp.transpose(attrs_ref[0], (1, 0)).astype(jnp.float32)
+        g = _chunk_geometry(coords, buf_t, cnv[i])
         w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
         # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
@@ -545,10 +547,18 @@ _gather_attrs.defvjp(_gather_attrs_fwd, _gather_attrs_bwd)
 
 def _attrs_blocks(attrs_rows):
     """(cap_t, NGC) gathered rows -> (n_blocks+1, ATTR_ROWS, K) kernel blocks
-    (zero-pads the dead rows and appends the trash block)."""
+    (zero-pads the dead rows and appends the trash block).
+
+    CLMGS_ATTR_BF16=1 is a TIMING DIAGNOSTIC ONLY (not quality-safe: bf16
+    means2d is ~0.5 px of positional noise): streams the kernel blocks as
+    bf16 to split the per-grid-step cost into byte-bound vs
+    sequencing-bound components."""
     cap_t = attrs_rows.shape[0]
     blocks = jnp.transpose(attrs_rows.reshape(cap_t // K, K, NGC), (0, 2, 1))
-    return jnp.pad(blocks, ((0, 1), (0, ATTR_ROWS - NGC), (0, 0)))
+    blocks = jnp.pad(blocks, ((0, 1), (0, ATTR_ROWS - NGC), (0, 0)))
+    if os.environ.get("CLMGS_ATTR_BF16") == "1":
+        blocks = blocks.astype(jnp.bfloat16)
+    return blocks
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
