@@ -128,9 +128,13 @@ def test_mesh_densification(dataset, tmp_path):
     model and keep training (grow_capacity re-pads sharded arrays; the driver
     re-shards after densify)."""
     out = str(tmp_path / "mesh_run")
-    _run(dataset, out, "no_offload", iters=16, extra=["--mesh_shape", "2x2"])
+    # small gather budget: exercises budget-overflow adaptation (gather_cap
+    # grows in the log) composed with densification-driven capacity growth
+    _run(dataset, out, "no_offload", iters=16,
+         extra=["--mesh_shape", "2x2", "--gather_cap", "256"])
     log = open(os.path.join(out, "python.log")).read()
     assert "multi-chip mesh" in log
+    assert "gather_cap ->" in log  # budget adapted to the scene's visible set
     assert "densify_and_prune" in log
     from clm_gs_tpu.models.gaussians import load_ply
 
@@ -151,6 +155,7 @@ def test_mesh_densification_clm(dataset, tmp_path):
     _run(dataset, out, "clm_offload", iters=16, extra=["--mesh_shape", "2x2"])
     log = open(os.path.join(out, "python.log")).read()
     assert "multi-chip mesh" in log
+    assert "clm data-parallel: 2 camera chains" in log
     assert "densify_and_prune" in log
     events = [json.loads(l) for l in open(os.path.join(out, "events.jsonl"))]
     evals = [e for e in events if e["kind"] == "eval"]
