@@ -277,3 +277,71 @@ def test_render_trajectory_cli(tmp_path):
     # the file was produced
     if os.path.exists(mp4):
         assert os.path.getsize(mp4) > 0
+
+
+@pytest.mark.slow
+def test_crash_recovery_sigkill(dataset, tmp_path):
+    """Hard-failure recovery (SURVEY §5.3): SIGKILL the trainer mid-run after
+    a checkpoint lands, then rerun the SAME command with
+    --auto_start_checkpoint — it must pick up the latest checkpoint, append
+    to the log instead of truncating, and finish the run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path / "crash_run")
+    argv = [
+        sys.executable, "-c",
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from clm_gs_tpu.train import main; import sys; main(sys.argv[1:])",
+        "-s", dataset, "-m", out, "--no_offload", "--bsz", "4",
+        "--iterations", "16", "--checkpoint_iterations", "4", "--isect_cap",
+        "65536", "--do_not_save", "--disable_auto_densification",
+        "--auto_start_checkpoint", "--log_interval", "4",
+    ]
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_mh_cache")
+    proc = subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    ckpt_dir = os.path.join(out, "checkpoints")
+
+    def checkpoints():
+        if not os.path.isdir(ckpt_dir):
+            return []
+        return [
+            d for d in os.listdir(ckpt_dir)
+            if os.path.exists(os.path.join(ckpt_dir, d, "chkpnt.npz"))
+        ]
+
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            if checkpoints():
+                break
+            if proc.poll() is not None:
+                # finished-or-crashed: a checkpoint may have landed between
+                # polls — only a real crash without one is a failure
+                if not checkpoints():
+                    _, err = proc.communicate(timeout=10)
+                    raise AssertionError(
+                        "trainer exited before any checkpoint:\n"
+                        + err.decode()[-2000:]
+                    )
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no checkpoint within 300 s")
+        time.sleep(0.2)  # let the npz write finish
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)  # exact PID, never by pattern
+    finally:
+        proc.wait(timeout=60)
+
+    # rerun the same command: auto_start_checkpoint must resume and finish
+    r = subprocess.run(argv, env=env, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = open(os.path.join(out, "python.log")).read()
+    assert "Resumed from" in log
+    assert "end2end total_time:" in log
