@@ -50,10 +50,14 @@ class IsectResults(NamedTuple):
 
 def _forward_fill(channels, block: int = 1024):
     """Rightmost-valid forward fill over 1-D int32 channels; "valid" means
-    channel 0 is nonzero. Blocked two-level Hillis-Steele: intra-block fill
-    along the minor axis, then a small inter-block carry pass. This compiles
-    in O(log block + log n/block) uniform-shape ops — jax.lax.associative_scan
-    at multi-million sizes sends XLA:TPU compile times superlinear (66 s at
+    channel 0 is nonzero. On TPU this dispatches to the Pallas VMEM fill
+    kernel (ops/fill_pallas.py): the doubling passes run on-chip instead of
+    round-tripping HBM once per pass — measured 21.5 -> 1.6 ms for 3 channels
+    at the 6.3M-slot bench scale. Elsewhere (CPU tests, virtual meshes) the
+    XLA formulation below runs: blocked two-level Hillis-Steele — intra-block
+    fill along the minor axis, then a small inter-block carry pass, compiling
+    in O(log block + log n/block) uniform-shape ops (jax.lax.associative_scan
+    at multi-million sizes sends XLA:TPU compile times superlinear: 66 s at
     1M elements, ~4 min at 2M, >20 min at 4M measured on v5e).
 
     Positions before the first valid entry keep channel values 0.
@@ -63,6 +67,10 @@ def _forward_fill(channels, block: int = 1024):
     XLA then emits one fused doubling chain instead of C separate ones
     (measured 14.5 -> ~5 ms per camera at bench scale for C=3 at 2.4M).
     """
+    if jax.default_backend() == "tpu":
+        from clm_gs_tpu.ops.fill_pallas import forward_fill_pallas
+
+        return forward_fill_pallas(channels)
     n = channels[0].shape[0]
     if n % block != 0:  # small/odd capacities (tests): single-level fill
         block = n
@@ -273,15 +281,21 @@ def isect_tiles(
     # with one associative scan ("rightmost valid wins"). Gaussians with
     # count > 0 have strictly increasing starts, so scatters never collide,
     # and the packed geometry word is nonzero exactly at set slots (wds >= 1).
+    # XLA:TPU scatter costs ~10 ms per 1M-update channel (near-serial; the
+    # fill itself is cheap), so only the geometry and id channels are
+    # scattered — the `starts` channel is derived for free: its scattered
+    # value at a set slot IS that slot's index, so the filled channel equals
+    # the fill of iota masked by the set-slot indicator (chip-validated
+    # identical, tools/fill_probe.py).
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
     dst = jnp.where(counts > 0, starts, isect_cap)
 
     def scat(src, dtype=jnp.int32):
         return jnp.zeros(isect_cap, dtype).at[dst].set(src, mode="drop")
 
-    geo_f, starts_f, orig_f = _forward_fill(
-        (scat(packed_geo), scat(starts), scat(order))
-    )
+    geo_s = scat(packed_geo)
+    starts_s = jnp.where(geo_s != 0, slots, 0)
+    geo_f, starts_f, orig_f = _forward_fill((geo_s, starts_s, scat(order)))
     valid = slots < n_isects
     local = slots - starts_f
     w = jnp.maximum(geo_f & 0x1FF, 1)
@@ -376,7 +390,11 @@ def isect_tiles_aligned(
     def scat(src):
         return jnp.zeros(isect_cap, jnp.int32).at[dst].set(src, mode="drop")
 
-    fill_in = (scat(packed_geo), scat(starts_g), scat(order)) + tuple(
+    # `starts` derived from the set-slot indicator instead of scattered:
+    # XLA:TPU scatter is ~10 ms per 1M-update channel (see isect_tiles)
+    geo_s = scat(packed_geo)
+    starts_s = jnp.where(geo_s != 0, slots, 0)
+    fill_in = (geo_s, starts_s, scat(order)) + tuple(
         scat(c) for c in sorted_ops[4:]
     )
     geo_f, starts_f, orig_f, *cull_f = _forward_fill(fill_in)

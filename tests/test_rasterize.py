@@ -555,3 +555,31 @@ def test_mxu_geom_peak_pixel_not_dropped(monkeypatch):
     py, px = 2, 27
     assert img_e[0, py, px] > 0.9
     np.testing.assert_allclose(img_m, img_e, atol=1e-2)
+
+
+def test_forward_fill_pallas_matches_xla_fill():
+    """The Pallas VMEM forward-fill (the TPU-path replacement for the blocked
+    XLA doubling in ops/tiles._forward_fill) is semantically identical:
+    rightmost-valid fill with validity = channel 0 nonzero, zeros before the
+    first valid slot. Interpret mode here; chip parity is validated by
+    tools/fill_probe.py and the oracle render tests."""
+    from clm_gs_tpu.ops.fill_pallas import forward_fill_pallas
+
+    rng = np.random.default_rng(7)
+    for n in (777, 4096, 200_000):
+        # leading invalid prefix: first 50 slots forced invalid
+        a = rng.integers(0, 4, size=n).astype(np.int32)
+        a[:50] = 0
+        b = rng.integers(-(1 << 20), 1 << 20, size=n).astype(np.int32)
+        c = rng.integers(0, 1 << 20, size=n).astype(np.int32)
+        out = forward_fill_pallas(tuple(map(jnp.asarray, (a, b, c))))
+        # independent numpy oracle: rightmost-valid fill, validity = a != 0
+        valid = a != 0
+        for ch, got in zip((a, b, c), out):
+            exp = np.zeros_like(ch)
+            for i in range(n):
+                if valid[i]:
+                    exp[i] = ch[i]
+                elif i:
+                    exp[i] = exp[i - 1]
+            np.testing.assert_array_equal(np.asarray(got), exp)
