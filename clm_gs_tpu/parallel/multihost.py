@@ -46,9 +46,14 @@ def maybe_initialize(cfg) -> bool:
 def put_global(x, sharding):
     """Place host data (identical on every process) onto a possibly
     cross-process sharding. Falls back to plain device_put in the
-    single-process case (same semantics, fewer host copies)."""
+    single-process case (same semantics, fewer host copies). Global jax
+    arrays with non-addressable shards (e.g. capacity-growth outputs during
+    multi-process densification) cannot round-trip through numpy — reshard
+    them with a jitted identity instead (GSPMD emits the collective)."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
     arr = np.asarray(x)
     return jax.make_array_from_callback(
         arr.shape, sharding, lambda idx: arr[idx]

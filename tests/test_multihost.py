@@ -24,14 +24,15 @@ def _free_port():
     return port
 
 
-def _run(procs, port, timeout=420):
+def _run(procs, port, timeout=420, mode="", tag="MHLOSSES"):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets platform itself
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_mh_cache")
+    argv_tail = [mode] if mode else []
     handles = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(procs), str(port)],
+            [sys.executable, WORKER, str(i), str(procs), str(port)] + argv_tail,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for i in range(procs)
@@ -41,7 +42,7 @@ def _run(procs, port, timeout=420):
         out, err = h.communicate(timeout=timeout)
         assert h.returncode == 0, f"rank {i} failed:\n{err[-2000:]}"
         for line in out.splitlines():
-            if line.startswith("MHLOSSES"):
+            if line.startswith(tag):
                 parts = line.split()
                 losses[int(parts[1])] = [float(v) for v in parts[2:]]
     assert len(losses) == procs, losses
@@ -55,4 +56,20 @@ def test_two_process_mesh_matches_single_process():
     # every rank reports the same fully-replicated loss vector
     assert multi[0] == multi[1], multi
     for a, b in zip(single, multi[0]):
+        assert abs(a - b) < 1e-6, (single, multi[0])
+
+
+@pytest.mark.slow
+def test_two_process_densify_growth_matches_single_process():
+    """Capacity growth + densify_and_prune across a process-spanning mesh
+    (PARITY known-gap: growth paths were single-process only). The worker
+    grows 256 -> 512 capacity, densifies with a tiny threshold, re-shards,
+    and runs another sharded step; counts and losses must match the
+    single-process run exactly."""
+    single = _run(1, _free_port(), mode="densify", tag="MHDENSIFY")[0]
+    multi = _run(2, _free_port(), mode="densify", tag="MHDENSIFY")
+    assert multi[0] == multi[1], multi
+    # n_new, n_alive integers match exactly; losses to fp tolerance
+    assert single[0] == multi[0][0] and single[1] == multi[0][1], (single, multi)
+    for a, b in zip(single[2:], multi[0][2:]):
         assert abs(a - b) < 1e-6, (single, multi[0])

@@ -136,7 +136,7 @@ def main():
 
 if __name__ == "__main__":
     import sys as _sys
-    if "--part2" not in _sys.argv:
+    if "--part2" not in _sys.argv and "--part3" not in _sys.argv:
         main()
 
 
@@ -204,4 +204,63 @@ def main2():
 
 
 if __name__ == "__main__":
-    main2()
+    if "--part2" in sys.argv:
+        main2()
+
+
+def main3():
+    """Can the two remaining scatters (geo, order) ride ONE complex64
+    scatter? c64 packing is lossless (real/imag round-trip bitwise) and the
+    fill consumes the int32 views, so only the scatter itself changes."""
+    rng = np.random.default_rng(0)
+    counts = rng.integers(0, 12, size=N).astype(np.int32)
+    starts = np.cumsum(counts) - counts
+    dst = np.where(counts > 0, starts, CAP).astype(np.int32)
+    geo = rng.integers(1, 1 << 27, size=N).astype(np.int32)
+    order = np.arange(N, dtype=np.int32)
+    dstj, geoj, orj = map(jnp.asarray, (dst, geo, order))
+
+    @jax.jit
+    def scat_c64(dst, a, b):
+        af = jax.lax.bitcast_convert_type(a, jnp.float32)
+        bf = jax.lax.bitcast_convert_type(b, jnp.float32)
+        z = jax.lax.complex(af, bf)
+        s = jnp.zeros(CAP, jnp.complex64).at[dst].set(z, mode="drop")
+        sa = jax.lax.bitcast_convert_type(jnp.real(s), jnp.int32)
+        sb = jax.lax.bitcast_convert_type(jnp.imag(s), jnp.int32)
+        return sa, sb
+
+    @jax.jit
+    def scat_2i32(dst, a, b):
+        def s(x):
+            return jnp.zeros(CAP, jnp.int32).at[dst].set(x, mode="drop")
+
+        return s(a), s(b)
+
+    @jax.jit
+    def scat_f64view(dst, a, b):
+        # same trick through one (N, 2) row scatter
+        rows = jnp.stack([a, b], axis=1)
+        return jnp.zeros((CAP, 2), jnp.int32).at[dst].set(rows, mode="drop")
+
+    @jax.jit
+    def scat_half(dst, a):
+        # does scatter cost scale with update count? (500k updates)
+        return jnp.zeros(CAP, jnp.int32).at[dst[: N // 2]].set(
+            a[: N // 2], mode="drop"
+        )
+
+    ra = scat_2i32(dstj, geoj, orj)
+    rb = scat_c64(dstj, geoj, orj)
+    np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
+    np.testing.assert_array_equal(np.asarray(ra[1]), np.asarray(rb[1]))
+    print("c64-packed scatter bitwise-matches 2x int32", flush=True)
+    timeit("scatter 2x int32", scat_2i32, dstj, geoj, orj)
+    timeit("scatter 1x c64 (packed pair)", scat_c64, dstj, geoj, orj)
+    timeit("scatter (N,2) rows", scat_f64view, dstj, geoj, orj)
+    timeit("scatter 1ch half updates", scat_half, dstj, geoj)
+
+
+if __name__ == "__main__":
+    if "--part3" in sys.argv:
+        main3()

@@ -68,6 +68,47 @@ def main():
         flush=True,
     )
 
+    if len(sys.argv) > 4 and sys.argv[4] == "densify":
+        # Multi-process densification + capacity growth (PARITY known-gap):
+        # count -> grow (jitted pads) -> re-shard -> densify_and_prune ->
+        # another sharded step. Every process takes the same decisions (the
+        # count is fully replicated), so the path is process-count-agnostic.
+        from functools import partial
+
+        from clm_gs_tpu.models import densify as Dn
+        from clm_gs_tpu.models import gaussians as G
+        from clm_gs_tpu.parallel.mesh import shard_capacity_tree
+        from clm_gs_tpu.train import _grow_opt
+
+        st = new_state
+        n_new = int(fully_replicated_host_value(
+            jax.jit(Dn.count_densify)(st, 1e-9, 0.01, jnp.float32(10.0))
+        ))
+        new_cap = 512
+        st = jax.jit(G.grow_capacity, static_argnums=1)(st, new_cap)
+        opt2 = jax.jit(_grow_opt, static_argnums=1)(new_opt, new_cap)
+        st = shard_capacity_tree(st, mesh, new_cap)
+        opt2 = shard_capacity_tree(opt2, mesh, new_cap)
+        st, opt2, info = Dn.densify_and_prune(
+            st, opt2, jax.random.PRNGKey(7), 1e-9, 0.005,
+            jnp.float32(10.0), 0.01, jnp.asarray(False),
+        )
+        st = shard_capacity_tree(st, mesh, new_cap)
+        opt2 = shard_capacity_tree(opt2, mesh, new_cap)
+        step2 = make_sharded_train_step(
+            mesh, width, height, isect_cap=4096, gather_cap=512
+        )
+        _, _, out2 = step2(
+            st, opt2, cb, gts, 3, lrs, AdamConfig(), jnp.zeros(3, jnp.float32)
+        )
+        l2 = fully_replicated_host_value(out2.losses)
+        n_alive = int(fully_replicated_host_value(info.n_alive))
+        print(
+            f"MHDENSIFY {pid} {n_new} {n_alive} "
+            + " ".join(f"{v:.8f}" for v in l2.tolist()),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
