@@ -63,13 +63,19 @@ from clm_gs_tpu.ops.tiles import (_forward_fill, isect_tiles_aligned,
 import os
 
 TILE_W = int(os.environ.get("CLMGS_TILE_W", "32"))
-TILE_H = int(os.environ.get("CLMGS_TILE_H", "16"))
-P = TILE_W * TILE_H  # 512 pixels per tile; wide tiles halve per-splat tile
-# coverage (instances), which is what the sort/gather/fill glue scales with
-# instances per chunk; the kernels cost ~1 us (fwd) / ~2 us (bwd) of FIXED
-# per-grid-step overhead (measured: an all-terminated pass runs at 95% of the
-# full-compute pass), so fatter chunks trade alignment-padding slots in the
-# glue for fewer grid steps (env override for A/B probing only)
+TILE_H = int(os.environ.get("CLMGS_TILE_H", "32"))
+P = TILE_W * TILE_H  # 1024 pixels per tile. Bigger tiles cut per-splat tile
+# coverage — instance count is what every post-scatter stage scales with
+# (fill, tile sort, gather, kernel grid steps, grad-regroup sort). Chip A/B
+# at bench scale (2026-08-19): 32x16 5.95 Mpix/s (5.77M instances), 32x24
+# 6.90, 64x16 7.54, 32x32 8.26 Mpix/s (3.67M instances). The compositing
+# kernels' per-grid-step cost is fetch/sequencing-bound (an all-terminated
+# pass runs at 95% of full compute; bf16 blocks and K=512 both measured
+# neutral-to-negative), so doubling per-step pixel work is nearly free while
+# step count drops with instances. P=2048 shapes OOM the 16 MB VMEM in the
+# backward kernel at K=256 (27.9 MB scoped) — K=128 variants are probed via
+# env. Output is reassociation-identical (~1 ulp) to other tile shapes:
+# per-pixel candidate sets and compositing order are unchanged.
 K = int(os.environ.get("CLMGS_CHUNK_K", "256"))
 ALIGN = K  # per-tile ranges own whole chunks
 ALPHA_THRESHOLD = 1.0 / 255.0
