@@ -62,21 +62,23 @@ from clm_gs_tpu.ops.tiles import (_forward_fill, isect_tiles_aligned,
 
 import os
 
-TILE_W = int(os.environ.get("CLMGS_TILE_W", "32"))
+TILE_W = int(os.environ.get("CLMGS_TILE_W", "64"))
 TILE_H = int(os.environ.get("CLMGS_TILE_H", "32"))
-P = TILE_W * TILE_H  # 1024 pixels per tile. Bigger tiles cut per-splat tile
+P = TILE_W * TILE_H  # 2048 pixels per tile. Bigger tiles cut per-splat tile
 # coverage — instance count is what every post-scatter stage scales with
 # (fill, tile sort, gather, kernel grid steps, grad-regroup sort). Chip A/B
-# at bench scale (2026-08-19): 32x16 5.95 Mpix/s (5.77M instances), 32x24
-# 6.90, 64x16 7.54, 32x32 8.26 Mpix/s (3.67M instances). The compositing
-# kernels' per-grid-step cost is fetch/sequencing-bound (an all-terminated
-# pass runs at 95% of full compute; bf16 blocks and K=512 both measured
-# neutral-to-negative), so doubling per-step pixel work is nearly free while
-# step count drops with instances. P=2048 shapes OOM the 16 MB VMEM in the
-# backward kernel at K=256 (27.9 MB scoped) — K=128 variants are probed via
-# env. Output is reassociation-identical (~1 ulp) to other tile shapes:
-# per-pixel candidate sets and compositing order are unchanged.
-K = int(os.environ.get("CLMGS_CHUNK_K", "256"))
+# at bench scale (2026-08-19), (tile, K) -> Mpix/s (instances):
+#   32x16/256: 5.95 (5.77M)   32x24/256: 6.90   64x16/256: 7.54
+#   32x32/256: 8.26 (3.67M)   32x32/128: 7.96   48x32/128: 9.09
+#   64x32/128: 9.64 (2.62M)   64x32/256 and P>=2560 at K=128: VMEM OOM in
+# the backward kernel (16 MB scoped limit). The compositing kernels'
+# per-grid-step cost is fetch/sequencing-bound (an all-terminated pass runs
+# at 95% of full compute; bf16 blocks and K=512 both measured neutral-to-
+# negative at 32x16), so more pixels per step are nearly free while step
+# count drops with instances. Output is reassociation-identical (~1 ulp)
+# across tile shapes: per-pixel candidate sets and compositing order are
+# unchanged by the tile partition.
+K = int(os.environ.get("CLMGS_CHUNK_K", "128"))
 ALIGN = K  # per-tile ranges own whole chunks
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
