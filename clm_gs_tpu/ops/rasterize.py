@@ -79,6 +79,22 @@ P = TILE_W * TILE_H  # 2048 pixels per tile. Bigger tiles cut per-splat tile
 # across tile shapes: per-pixel candidate sets and compositing order are
 # unchanged by the tile partition.
 K = int(os.environ.get("CLMGS_CHUNK_K", "128"))
+
+
+def _slab_p() -> int:
+    """Pixel-slab width (read at trace time): per-pixel temporaries inside
+    the kernels are (K, PS), so VMEM pressure is bounded by the slab, not
+    the tile — tiles with P > PS (e.g. 64x64 = 4096 px, whose instance
+    demand is another ~27% below 64x32's) process their pixels in P // PS
+    sequential slabs per chunk step. At the default P <= PS this is one
+    slab and the generated kernel is unchanged. Forward output is bitwise
+    slab-invariant (per-pixel math); backward per-instance sums
+    reassociate across slabs (~1 ulp)."""
+    ps = min(P, int(os.environ.get("CLMGS_SLAB_P", "2048")))
+    assert P % ps == 0, (P, ps)
+    return ps
+
+
 ALIGN = K  # per-tile ranges own whole chunks
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
@@ -148,13 +164,15 @@ def _cum_incl(x, op, identity):
     return x
 
 
-def _pixel_coords(t, tile_width):
+def _pixel_coords(t, tile_width, slab: int = 0, ps: int = None):
     """Global pixel centers (pxf, pyf) plus tile-local centers and the tile
-    origin — the MXU-geometry path works in tile-local coordinates to keep
-    the expanded bilinear form's terms small (see _chunk_geometry)."""
+    origin for one PS-pixel slab of the tile — the MXU-geometry path works in
+    tile-local coordinates to keep the expanded bilinear form's terms small
+    (see _chunk_geometry)."""
     ty = t // tile_width
     tx = jax.lax.rem(t, tile_width)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ps = P if ps is None else ps
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) + slab * ps
     pxl = jax.lax.rem(idx, TILE_W).astype(jnp.float32) + 0.5
     pyl = (idx // TILE_W).astype(jnp.float32) + 0.5
     ox = (tx * TILE_W).astype(jnp.float32)
@@ -179,13 +197,14 @@ _MXU_SIGMA_SNAP = 5e-3
 
 
 def _pixel_monomials(pxl, pyl):
-    """(8, P) tile-local pixel monomial rows [1, x, y, x^2, xy, y^2, 0, 0] —
+    """(8, PS) tile-local pixel monomial rows [1, x, y, x^2, xy, y^2, 0, 0] —
     the shared basis of the fwd bilinear form (U @ V) and the bwd moment
     contraction (v_sigma @ V^T); column order and padding must match the
     moment arithmetic in _bwd_kernel."""
+    n = pxl.shape[1]
     return jnp.concatenate(
-        [jnp.ones((1, P), jnp.float32), pxl, pyl, pxl * pxl, pxl * pyl,
-         pyl * pyl, jnp.zeros((2, P), jnp.float32)],
+        [jnp.ones((1, n), jnp.float32), pxl, pyl, pxl * pxl, pxl * pyl,
+         pyl * pyl, jnp.zeros((2, n), jnp.float32)],
         axis=0,
     )
 
@@ -288,16 +307,24 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
 
     @pl.when(alive & jnp.logical_not(alldone))
     def _():
-        coords = _pixel_coords(tile, tile_width)
         buf_t = jnp.transpose(attrs_ref[0], (1, 0)).astype(jnp.float32)
-        g = _chunk_geometry(coords, buf_t, cnv[i])
-        done = done_ref[:] > 0.5
-        w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:], done)
-        contrib = jax.lax.dot_general(
-            g["ctilde"], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (4, P)
-        acc = out_ref[0]
+        # pixels processed in sequential (K, PS) slabs so VMEM holds one
+        # slab's temporaries regardless of tile size (per-pixel math:
+        # bitwise slab-invariant)
+        ps = _slab_p()
+        for s in range(P // ps):
+            sl = slice(s * ps, (s + 1) * ps)
+            coords = _pixel_coords(tile, tile_width, s, ps)
+            g = _chunk_geometry(coords, buf_t, cnv[i])
+            done = done_ref[:, sl] > 0.5
+            w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:, sl], done)
+            contrib = jax.lax.dot_general(
+                g["ctilde"], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4, PS)
+            out_ref[0, 0:4, sl] += contrib
+            t_ref[:, sl] = T_new
+            done_ref[:, sl] = done_new.astype(jnp.float32)
         # row 4 records how many chunks this tile actually composited: the
         # backward compacts its grid to these live prefixes (post-termination
         # chunks have zero gradient but still cost a block fetch + grid step
@@ -305,16 +332,9 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
         # per-tile output removes one whole block stream from the pipeline
         # (per-grid-step fixed cost is ~0.4 us per stream). The background
         # fold happens outside the kernel in XLA (rows 0:3 + T_fin*bg).
-        out_ref[0] = jnp.concatenate(
-            [
-                acc[0:4] + contrib,
-                jnp.full((1, P), (cloc[i] + 1).astype(jnp.float32)),
-                acc[5:OUT_ROWS],
-            ],
-            axis=0,
+        out_ref[0, 4:5, :] = jnp.full(
+            (1, P), (cloc[i] + 1).astype(jnp.float32)
         )
-        t_ref[:] = T_new
-        done_ref[:] = done_new.astype(jnp.float32)
 
 
 def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
@@ -339,48 +359,85 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
 
     @pl.when(run)
     def _():
-        coords = _pixel_coords(tile, tile_width)
-        # (5, P) block: rows 0-3 the output cotangent, row 4 the precomputed
-        # <v4, fwd_total> contraction (folding it into one block stream saves
-        # a whole per-grid-step input pipeline vs a separate residual block —
-        # per-step fixed cost is ~0.4 us per block stream)
-        v4 = v_ref[0, 0:4]
-        d_tot = v_ref[0, 4:5]  # (1, P)
-        T, done, E = t_ref[:], done_ref[:] > 0.5, e_ref[:]
         buf_t = jnp.transpose(attrs_ref[0], (1, 0)).astype(jnp.float32)
-        g = _chunk_geometry(coords, buf_t, cnv[i])
-        w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
+        z1 = jnp.zeros((K, 1), jnp.float32)
+        acc = dict(
+            v_color=jnp.zeros((K, 3), jnp.float32), v_opac=z1, v_ca=z1,
+            v_cb=z1, v_cc=z1, v_mx=z1, v_my=z1,
+            S=jnp.zeros((K, 8), jnp.float32),
+        )
+        g = None
+        # pixel slabs as in the forward; per-instance sums accumulate
+        # across slabs (reassociation ~1 ulp with more than one slab)
+        ps = _slab_p()
+        for s in range(P // ps):
+            sl = slice(s * ps, (s + 1) * ps)
+            coords = _pixel_coords(tile, tile_width, s, ps)
+            # (5, P) block: rows 0-3 the output cotangent, row 4 the
+            # precomputed <v4, fwd_total> contraction (folding it into one
+            # block stream saves a whole per-grid-step input pipeline vs a
+            # separate residual block)
+            v4 = v_ref[0, 0:4, sl]
+            d_tot = v_ref[0, 4:5, sl]  # (1, ps)
+            T, done, E = t_ref[:, sl], done_ref[:, sl] > 0.5, e_ref[:, sl]
+            g = _chunk_geometry(coords, buf_t, cnv[i])
+            w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
-        # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
-        dot1 = jax.lax.dot_general(
-            g["ctilde"], v4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, P)
-        cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
-        term_a = d_tot - E - cum_wd  # (K, P) via broadcast
-        a = g["a"]
-        om = 1.0 - a
-        # gsplat guard: no gradient through the 0.999 clamp
-        grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
-        v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
-        v_sigma = -g["ga"] * v_a  # (K, P)
-
-        v_color = jax.lax.dot_general(
-            w, v4[0:3, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (K, 3)
-        v_opac = jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
-        if _mxu_geom():
-            # conic/mean grads via pixel-monomial moments: one MXU matmul
-            # S = v_sigma @ [1, x, y, x^2, xy, y^2]^T, then per-row column
-            # arithmetic (dx = x - mx with tile-local x and mx, so e.g.
-            # sum dx^2 vs = S[x^2] - 2 mx S[x] + mx^2 S[1]) — replaces five
-            # (K, P) multiply+reduce chains
-            _, _, pxl, pyl, _, _ = coords
-            S = jax.lax.dot_general(
-                v_sigma, _pixel_monomials(pxl, pyl), (((1,), (1,)), ((), ())),
+            # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
+            dot1 = jax.lax.dot_general(
+                g["ctilde"], v4, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (K, 8): [s0, sx, sy, sxx, sxy, syy, 0, 0]
+            )  # (K, PS)
+            cum_wd = _cum_incl(w * dot1, jnp.add, 0.0)
+            term_a = d_tot - E - cum_wd  # (K, PS) via broadcast
+            a = g["a"]
+            om = 1.0 - a
+            # gsplat guard: no gradient through the 0.999 clamp
+            grad_ok = keep & g["ok"] & (g["ga"] <= MAX_ALPHA)
+            v_a = jnp.where(grad_ok, T_excl * dot1 - term_a / om, 0.0)
+            v_sigma = -g["ga"] * v_a  # (K, PS)
+
+            acc["v_color"] += jax.lax.dot_general(
+                w, v4[0:3, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, 3)
+            acc["v_opac"] += jnp.sum(g["vis"] * v_a, axis=1, keepdims=True)
+            if _mxu_geom():
+                # conic/mean grads via pixel-monomial moments: one MXU
+                # matmul per slab; the column arithmetic happens once after
+                # the loop (mx/my are slab-invariant)
+                _, _, pxl, pyl, _, _ = coords
+                acc["S"] += jax.lax.dot_general(
+                    v_sigma, _pixel_monomials(pxl, pyl),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (K, 8): [s0, sx, sy, sxx, sxy, syy, 0, 0]
+            else:
+                dx, dy = g["dx"], g["dy"]
+                acc["v_ca"] += jnp.sum(
+                    0.5 * dx * dx * v_sigma, axis=1, keepdims=True
+                )
+                acc["v_cb"] += jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
+                acc["v_cc"] += jnp.sum(
+                    0.5 * dy * dy * v_sigma, axis=1, keepdims=True
+                )
+                acc["v_mx"] += -jnp.sum(
+                    (g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1,
+                    keepdims=True,
+                )
+                acc["v_my"] += -jnp.sum(
+                    (g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1,
+                    keepdims=True,
+                )
+
+            t_ref[:, sl] = T_new
+            done_ref[:, sl] = done_new.astype(jnp.float32)
+            e_ref[:, sl] = E + cum_wd[K - 1 : K, :]
+
+        if _mxu_geom():
+            # dx = x - mx with tile-local x and mx, so e.g.
+            # sum dx^2 vs = S[x^2] - 2 mx S[x] + mx^2 S[1]
+            S = acc["S"]
             mx, my = g["mx"], g["my"]
             s0 = S[:, 0:1]
             sx = S[:, 1:2] - mx * s0   # sum dx * vs
@@ -394,27 +451,15 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
             v_mx = -(g["ca"] * sx + g["cb"] * sy)
             v_my = -(g["cc"] * sy + g["cb"] * sx)
         else:
-            dx, dy = g["dx"], g["dy"]
-            v_ca = jnp.sum(0.5 * dx * dx * v_sigma, axis=1, keepdims=True)
-            v_cb = jnp.sum(dx * dy * v_sigma, axis=1, keepdims=True)
-            v_cc = jnp.sum(0.5 * dy * dy * v_sigma, axis=1, keepdims=True)
-            v_mx = -jnp.sum(
-                (g["ca"] * dx + g["cb"] * dy) * v_sigma, axis=1, keepdims=True
-            )
-            v_my = -jnp.sum(
-                (g["cc"] * dy + g["cb"] * dx) * v_sigma, axis=1, keepdims=True
-            )
+            v_ca, v_cb, v_cc = acc["v_ca"], acc["v_cb"], acc["v_cc"]
+            v_mx, v_my = acc["v_mx"], acc["v_my"]
 
         gbuf = jnp.concatenate(
-            [v_mx, v_my, v_ca, v_cb, v_cc, v_opac, v_color,
+            [v_mx, v_my, v_ca, v_cb, v_cc, acc["v_opac"], acc["v_color"],
              jnp.zeros((K, ATTR_ROWS - 9), jnp.float32)],
             axis=1,
         )  # (K, 16)
         grads_ref[0] = jnp.transpose(gbuf, (1, 0))  # (16, K)
-
-        t_ref[:] = T_new
-        done_ref[:] = done_new.astype(jnp.float32)
-        e_ref[:] = E + cum_wd[K - 1 : K, :]
 
 
 def _chunk_plan(counts, starts, num_tiles: int, chunk_cap: int, n_blocks: int):

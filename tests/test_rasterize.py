@@ -495,18 +495,23 @@ def test_tile_cull_overflow_consistent(monkeypatch):
     reporting true (bbox) demand, and the render finishing without error."""
     from clm_gs_tpu.ops.tiles import isect_tiles_aligned, tight_extents
 
+    from clm_gs_tpu.ops.rasterize import ALIGN, TILE_H, TILE_W
+
     m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
         n=300, seed=13
     )
-    tw, th = -(-w // 32), -(-h // 16)
+    # the reference binning must use rasterize's own tile geometry so the
+    # end-to-end n_isects comparison below is apples-to-apples
+    tw, th = -(-w // TILE_W), -(-h // TILE_H)
     ext = tight_extents(conics, opac, radii)
     small_cap = 256  # force overflow
     base = isect_tiles_aligned(
-        m2d, radii, depths, (32, 16), tw, th, small_cap, 256, extents=ext
+        m2d, radii, depths, (TILE_W, TILE_H), tw, th, small_cap, ALIGN,
+        extents=ext,
     )
     culled = isect_tiles_aligned(
-        m2d, radii, depths, (32, 16), tw, th, small_cap, 256, extents=ext,
-        cull=(conics, opac),
+        m2d, radii, depths, (TILE_W, TILE_H), tw, th, small_cap, ALIGN,
+        extents=ext, cull=(conics, opac),
     )
     assert int(base.n_isects) > small_cap  # overflow actually happened
     assert int(culled.n_isects) == int(base.n_isects)
@@ -583,3 +588,37 @@ def test_forward_fill_pallas_matches_xla_fill():
                 elif i:
                     exp[i] = exp[i - 1]
             np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_pixel_slab_matches_unslabbed(monkeypatch):
+    """CLMGS_SLAB_P splits each chunk step's pixel work into (K, PS) slabs
+    (the VMEM lever that unlocks P > 2048 tiles). Forward must be bitwise
+    slab-invariant (pure per-pixel math); backward per-instance sums
+    reassociate across slabs, so gradients match to fp tolerance."""
+    from clm_gs_tpu.ops.rasterize import P
+
+    if P < 512:
+        pytest.skip("tile too small to slab")
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+        n=300, seed=5
+    )
+
+    def render(op):
+        img, alpha, n = rasterize(
+            m2d, conics, colors, op, depths, radii, w, h, BG, isect_cap=8192
+        )
+        return img
+
+    def loss_grad(op):
+        return jax.grad(lambda o: jnp.sum(render(o) ** 2))(op)
+
+    base_img = np.asarray(render(opac))
+    base_g = np.asarray(loss_grad(opac))
+    monkeypatch.setenv("CLMGS_SLAB_P", "256")
+    jax.clear_caches()  # slab width is read at trace time
+    slab_img = np.asarray(render(opac))
+    slab_g = np.asarray(loss_grad(opac))
+    monkeypatch.delenv("CLMGS_SLAB_P")
+    jax.clear_caches()
+    np.testing.assert_array_equal(slab_img, base_img)
+    np.testing.assert_allclose(slab_g, base_g, rtol=1e-5, atol=1e-6)
