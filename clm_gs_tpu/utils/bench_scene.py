@@ -16,11 +16,12 @@ W = int(os.environ.get("CLMGS_BENCH_W", 1237))
 H = int(os.environ.get("CLMGS_BENCH_H", 822))
 BSZ = 4
 # the cap the trainer's adaptive bucketing converges to for this scene:
-# round_up(max_isects * 1.05, 2**17) with max_isects = 5409661 over the 4
-# bench cameras under the opacity-aware tight bboxes + 32x16 rectangular
-# tiles. bench.py re-snugs at runtime either way; a correct seed just avoids
-# one throwaway compile at the wrong capacity.
-ISECT_CAP = int(os.environ.get("CLMGS_BENCH_ISECT", 5767168))
+# round_up(max_isects * 1.05, 2**17) with max_isects ~ 2.40M over the 4
+# bench cameras under the opacity-aware tight bboxes + the 64x32 default
+# tiles (was 5767168 at 32x16). bench.py re-snugs at runtime either way; a
+# correct seed just avoids one throwaway compile at the wrong capacity and
+# keeps the probe tools (profile_trace, kernel_probe) at the real size.
+ISECT_CAP = int(os.environ.get("CLMGS_BENCH_ISECT", 2621440))
 
 
 def _surface_gaussians(n: int, rng):
