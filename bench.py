@@ -72,10 +72,13 @@ def run_child(strategy: str):
     from clm_gs_tpu.utils.bench_scene import drain_scalar as drain
 
     if strategy == "no_offload":
+        vis_cap = 0  # sized from the warmup batch like the trainer's budget
+
         def one_batch(s, o, _ctx, cap):
             s, o, out = no_offload.train_step(
                 s, o, cb, gts, 3, lrs, adam_cfg, bg, W, H, cap,
                 accumulate_stats=False,
+                update_cap=vis_cap if vis_cap < s.capacity else 0,
             )
             return s, o, _ctx, out
 
@@ -107,7 +110,13 @@ def run_child(strategy: str):
     mi = int(out.max_isects)
     margin = float(os.environ.get("CLMGS_ISECT_MARGIN", "1.05"))
     snug = -(-int(mi * margin) // 2**17) * 2**17
-    if snug != isect_cap:
+    if strategy == "no_offload":
+        # size the scatter-update budget exactly like train.py's vis_cap
+        import jax.numpy as _jnp
+
+        nv = int(_jnp.sum(out.visible_any))
+        vis_cap = -(-max(int(nv * 1.1), 2**16) // 2**16) * 2**16
+    if snug != isect_cap or (strategy == "no_offload" and vis_cap):
         isect_cap = snug
         state, opt, ctx, out = one_batch(state, opt, ctx, isect_cap)
     drain(out.losses, state.params.xyz)

@@ -765,7 +765,9 @@ def _rasterize_sorted_bwd(meta, res, v_out):
 _rasterize_sorted.defvjp(_rasterize_sorted_fwd, _rasterize_sorted_bwd)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "isect_cap"))
+@partial(
+    jax.jit, static_argnames=("width", "height", "isect_cap", "update_cap")
+)
 def rasterize(
     means2d,
     conics,
@@ -777,6 +779,7 @@ def rasterize(
     height: int,
     background,
     isect_cap: int,
+    update_cap: int = 0,
 ):
     """Render one camera from projected Gaussians.
 
@@ -784,6 +787,11 @@ def rasterize(
       means2d (N,2), conics (N,3), colors (N,3), opacities (N,), depths (N,),
       radii (N,) with 0 = culled. background (3,).
       isect_cap: static (bucketed) instance capacity.
+      update_cap: static budget for the binning expansion's scatter updates
+        (0 = full capacity). Callers size it to the visible-gaussian count
+        (scatter cost is linear in updates); a batch whose instance-producing
+        count exceeds it drops its deepest gaussians like an isect_cap
+        overflow batch.
 
     Returns: (image (3, H, W), alpha (H, W), n_isects ()).
     Differentiable wrt means2d, conics, colors, opacities, background.
@@ -818,6 +826,7 @@ def rasterize(
         (TILE_W, TILE_H), tw, th, cap_round, ALIGN,
         extents=ext,
         cull=cull,
+        update_cap=update_cap,
     )
     starts, counts, n_isects = aligned.starts, aligned.counts, aligned.n_isects
 

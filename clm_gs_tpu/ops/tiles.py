@@ -317,7 +317,10 @@ def isect_tiles(
 
 @partial(
     jax.jit,
-    static_argnames=("tile_size", "tile_width", "tile_height", "isect_cap", "align"),
+    static_argnames=(
+        "tile_size", "tile_width", "tile_height", "isect_cap", "align",
+        "update_cap",
+    ),
 )
 def isect_tiles_aligned(
     means2d,
@@ -330,6 +333,7 @@ def isect_tiles_aligned(
     align: int,
     extents=None,
     cull=None,
+    update_cap: int = 0,
 ):
     """Binning straight into the K-aligned per-tile layout the rasterizer
     consumes: instead of sorting into contiguous ranges and then permuting
@@ -360,7 +364,15 @@ def isect_tiles_aligned(
     geo_pre = (x0 << 18) | (y0 << 9) | (x1 - x0)
     valid_g = (radii > 0) & (rx > 0) & (ry > 0)
     cnt_pre = jnp.where(valid_g, (x1 - x0) * (y1 - y0), 0)
-    d_key = _depth_key(depths, valid_g)
+    # instance-producing gaussians sort to the front (zero-count ones emit
+    # nothing, so their position is irrelevant): with `update_cap` set, the
+    # expansion scatters slice to that prefix — XLA:TPU scatter cost is
+    # linear in UPDATE count (~10 ms per 1M rows per channel, fill_probe),
+    # so a visibility-sized budget cuts it by the invisible fraction. A
+    # batch whose instance-producing count exceeds the budget drops its
+    # deepest gaussians, exactly like an isect_cap overflow batch; callers
+    # adapt the budget the same way.
+    d_key = _depth_key(depths, valid_g & (cnt_pre > 0))
     pre_ops = (d_key, jnp.arange(n, dtype=jnp.int32), geo_pre, cnt_pre)
     if cull is not None:
         # conic pre-divided by t_sup = ln(255*op) so the per-instance test is
@@ -387,8 +399,23 @@ def isect_tiles_aligned(
     slots = jnp.arange(isect_cap, dtype=jnp.int32)
     dst = jnp.where(counts_g > 0, starts_g, isect_cap)
 
+    # scatter-update budget: instance-producing gaussians are a depth-sorted
+    # prefix, so slicing the updates to `update_cap` rows drops only the
+    # deepest gaussians — and only when the budget is exceeded (an adapt-and-
+    # retry condition for callers, exact otherwise). The expansion's valid
+    # bound must then be the PREFIX's instance total, not n_isects: the fill
+    # would otherwise extend the last scattered gaussian's run across the
+    # dropped gaussians' slots.
+    uc = min(update_cap, n) if update_cap else n
+    if uc < n:
+        ni_used = jnp.minimum(cum[uc - 1], n_isects)
+    else:
+        ni_used = n_isects
+
     def scat(src):
-        return jnp.zeros(isect_cap, jnp.int32).at[dst].set(src, mode="drop")
+        return jnp.zeros(isect_cap, jnp.int32).at[dst[:uc]].set(
+            src[:uc], mode="drop"
+        )
 
     # `starts` derived from the set-slot indicator instead of scattered:
     # XLA:TPU scatter is ~10 ms per 1M-update channel (see isect_tiles)
@@ -398,7 +425,7 @@ def isect_tiles_aligned(
         scat(c) for c in sorted_ops[4:]
     )
     geo_f, starts_f, orig_f, *cull_f = _forward_fill(fill_in)
-    valid = slots < n_isects
+    valid = slots < ni_used
     local = slots - starts_f
     w = jnp.maximum(geo_f & 0x1FF, 1)
     ty = ((geo_f >> 9) & 0x1FF) + local // w

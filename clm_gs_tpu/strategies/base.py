@@ -35,7 +35,9 @@ class RenderOut(NamedTuple):
     n_isects: jnp.ndarray  # ()
 
 
-@partial(jax.jit, static_argnames=("width", "height", "isect_cap"))
+@partial(
+    jax.jit, static_argnames=("width", "height", "isect_cap", "update_cap")
+)
 def render_one_cam(
     params: GaussianParams,
     alive,
@@ -48,6 +50,7 @@ def render_one_cam(
     background,
     isect_cap: int,
     probe=None,
+    update_cap: int = 0,
 ) -> RenderOut:
     """Differentiable render of one camera from the full padded buffer
     (pipeline_forward_one_step, base_engine.py:106-207)."""
@@ -67,6 +70,7 @@ def render_one_cam(
     image, alpha, n_isects = rasterize(
         means2d, proj.conics[0], colors, opac,
         proj.depths[0], proj.radii[0], width, height, background, isect_cap,
+        update_cap=update_cap,
     )
     return RenderOut(image, alpha, proj.radii[0], n_isects)
 

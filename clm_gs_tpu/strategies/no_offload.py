@@ -38,6 +38,7 @@ class StepOut(NamedTuple):
     static_argnames=(
         "width", "height", "isect_cap", "sparse_adam", "accumulate_stats",
         "adam_cfg", "lambda_dssim", "loss_scale", "stop_update_param",
+        "update_cap",
     ),
 )
 def train_step(
@@ -57,6 +58,7 @@ def train_step(
     lambda_dssim: float = 0.2,
     loss_scale: float = 1.0,
     stop_update_param: bool = False,
+    update_cap: int = 0,
 ):
     """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut)."""
     params = state.params
@@ -75,6 +77,7 @@ def train_step(
             out = render_one_cam(
                 p, alive, viewmat, Kmat, campos, sh_degree,
                 width, height, background, isect_cap, probe=probe,
+                update_cap=update_cap,
             )
             return photometric_loss(out.image, gt, lambda_dssim, loss_scale), out
 

@@ -155,6 +155,7 @@ def training(cfg: Config):
     )
     dataset = scene.train_dataset(bsz)
     isect_cap = cfg.tpu.isect_cap
+    vis_cap = 0  # scatter-update budget; 0 = full until first-batch sizing
     gather_cap = cfg.tpu.gather_cap  # multi-chip visible-gather budget
     e2e = End2endTimer()
     timers = Timer(enabled=cfg.bench.enable_timer)
@@ -319,6 +320,7 @@ def training(cfg: Config):
                 lambda_dssim=cfg.opt.lambda_dssim,
                 loss_scale=cfg.opt.lr_scale_loss,
                 stop_update_param=cfg.debug.stop_update_param,
+                update_cap=vis_cap if vis_cap < state.capacity else 0,
             )
         else:
             clm_kwargs = {}
@@ -395,6 +397,19 @@ def training(cfg: Config):
             # for at most one extra recompile per doubling of the scene.
             isect_cap = round_up(int(mi * margin), 2**17)
             logger.write(f"isect_cap -> {isect_cap}\n")
+
+        # adaptive scatter-update budget (no_offload single-chip): the
+        # binning expansion's scatter cost is linear in update rows, so it is
+        # budgeted to the visible-gaussian count (instance-producing rows are
+        # a subset of radii > 0). Bucketed growth AND snugging — an
+        # over-budget batch drops its deepest gaussians once, like an
+        # isect_cap overflow batch, then the budget grows.
+        if strategy_name == "no_offload" and sharded_step is None:
+            nv = int(jnp.sum(out.visible_any))
+            want = round_up(max(int(nv * 1.1), 2**16), 2**16)
+            if want > vis_cap or want < vis_cap // 2:
+                vis_cap = want
+                logger.write(f"vis_cap -> {vis_cap}\n")
 
         # adaptive visible-gather budget for the sharded step (same bucketed
         # growth; a triggering batch rendered with surplus rows dropped, like

@@ -622,3 +622,54 @@ def test_pixel_slab_matches_unslabbed(monkeypatch):
     jax.clear_caches()
     np.testing.assert_array_equal(slab_img, base_img)
     np.testing.assert_allclose(slab_g, base_g, rtol=1e-5, atol=1e-6)
+
+
+def test_update_cap_budget_semantics():
+    """update_cap budgets the binning expansion's scatter updates: with any
+    budget covering the instance-producing gaussians the render is bitwise
+    identical; an over-tight budget drops only the DEEPEST gaussians (the
+    adapt-and-retry condition, like an isect_cap overflow)."""
+    m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+        n=120, seed=9
+    )
+    full = rasterize(
+        m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=8192
+    )
+    ample = rasterize(
+        m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=8192,
+        update_cap=120,
+    )
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(ample[0]))
+    assert int(full[2]) == int(ample[2])
+
+    # over-tight budget: keep only the 30 nearest gaussians; the result must
+    # equal rendering those 30 alone (deepest-dropped semantics)
+    tight = rasterize(
+        m2d, conics, colors, opac, depths, radii, w, h, BG, isect_cap=8192,
+        update_cap=30,
+    )
+    from clm_gs_tpu.ops.rasterize import ALIGN, TILE_H, TILE_W
+    from clm_gs_tpu.ops.tiles import tight_extents, tile_bbox
+
+    # the budget prefix is depth-sorted over INSTANCE-PRODUCING gaussians
+    # (tight-extents validity and a nonempty tile bbox), not radii > 0
+    rx, ry = tight_extents(conics, opac, radii)
+    tw, th = -(-w // TILE_W), -(-h // TILE_H)
+    x0, x1, y0, y1 = tile_bbox(m2d, rx, ry, (TILE_W, TILE_H), tw, th)
+    cnt = np.asarray(
+        jnp.where((radii > 0) & (rx > 0) & (ry > 0), (x1 - x0) * (y1 - y0), 0)
+    )
+    order = np.argsort(
+        np.where(cnt > 0, np.asarray(depths), np.inf), kind="stable"
+    )
+    keep = np.zeros(120, bool)
+    keep[order[:30]] = True
+    keep &= cnt > 0
+    radii_kept = jnp.asarray(np.where(keep, np.asarray(radii), 0.0))
+    ref = rasterize(
+        m2d, conics, colors, opac, depths, radii_kept, w, h, BG,
+        isect_cap=8192,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tight[0]), np.asarray(ref[0]), atol=1e-6
+    )
