@@ -467,8 +467,15 @@ def isect_tiles_aligned(
             1, mode="drop"
         )[:num_tiles]
 
+    exact_pred = n_isects <= isect_cap
+    if uc < n:
+        # the interval-indicator matmul counts ALL instance-producing
+        # gaussians; when the update budget truncated (deepest dropped),
+        # only the materialized-slot histogram matches the kept prefix —
+        # stale matmul counts would shift every later tile's segment starts
+        exact_pred = exact_pred & (ni_used >= n_isects)
     counts_t = jax.lax.cond(
-        n_isects <= isect_cap, lambda _: counts_mm, hist_counts, operand=None
+        exact_pred, lambda _: counts_mm, hist_counts, operand=None
     )
     padded_t = -(-counts_t // align) * align
     starts = jnp.concatenate(
