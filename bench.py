@@ -187,6 +187,51 @@ def run_child(strategy: str):
             rec["comm_hidden_frac"] = round(
                 max(0.0, 1.0 - ctx.trailing_s / max(ctx.host_work_s, 1e-9)), 3
             )
+        # Interconnect-projected throughput (this sandbox's host<->chip
+        # tunnel is ~5 MB/s, so measured clm sec_per_batch says nothing
+        # about the design at a realistic link): run ONE instrumented batch
+        # to split device compute out of the loop, then model
+        #   projected_batch_s = max(device_s,
+        #                           bytes/batch / link_bw + scatter_s,
+        #                           adam_s)
+        # — in steady state the transfers + host scatter pipeline against
+        # device render, and host Adam runs on its own worker thread (the
+        # reference's two-stream + cpuadam_thread overlap, SURVEY §3.3).
+        from clm_gs_tpu.utils.timer import Timer
+
+        tmr = Timer(enabled=True)
+        ctx.h2d_bytes = ctx.d2h_bytes = 0.0
+        sw0, aw0 = ctx.scatter_work_s, ctx.adam_work_s
+        state, opt, ctx, out = clm_offload.train_one_batch(
+            state, opt, ctx, cb, gts, 3, lrs, adam_cfg, bg, W, H, isect_cap,
+            cfg, timers=tmr,
+        )
+        drain(out.losses, state.params.xyz)
+        device_s = tmr.sums.get("clm.filters", 0.0) + tmr.sums.get(
+            "clm.micro", 0.0
+        )
+        bytes_b = ctx.h2d_bytes + ctx.d2h_bytes
+        link_gbps = float(os.environ.get("CLMGS_LINK_GBPS", "16"))
+        transfer_s = bytes_b / (link_gbps * 1e9)
+        scatter_s = ctx.scatter_work_s - sw0
+        adam_s = ctx.adam_work_s - aw0
+        proj_batch = max(device_s, transfer_s + scatter_s, adam_s)
+        rec["clm_projected_mpix_s"] = round(
+            BSZ * W * H / proj_batch / 1e6, 3
+        )
+        rec["clm_projection"] = {
+            "formula": (
+                "max(device_s, bytes/link_bw + scatter_s, adam_s); "
+                "device_s from an instrumented batch (per-micro drain, "
+                "conservative: includes tunnel sync floors)"
+            ),
+            "link_gbps_assumed": link_gbps,
+            "bytes_per_batch_mb": round(bytes_b / 2**20, 1),
+            "device_s": round(device_s, 3),
+            "transfer_s_at_link": round(transfer_s, 3),
+            "host_scatter_s": round(scatter_s, 3),
+            "host_adam_s": round(adam_s, 3),
+        }
     print("BENCH_CHILD " + json.dumps(rec), flush=True)
 
 

@@ -502,6 +502,11 @@ def isect_tiles_aligned(
         keys = jnp.concatenate([tile, dummy_tile])
         payload = jnp.concatenate([orig, jnp.full(dcap, -1, jnp.int32)])
         _, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+        # counts_orig may OVERCOUNT under update_cap truncation (it is the
+        # pre-truncation per-gaussian bbox count): consumers must reduce by
+        # id-masked segments, not trust the counts as materialized-instance
+        # totals — segment_reduce_sorted's id-keyed reduction satisfies this
+        # (same contract as isect_cap overflow, where slots are also dropped).
         return AlignedIsect(
             ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
             counts_orig=cnt_pre,

@@ -75,6 +75,12 @@ class ClmContext:
     scatter_work_s: float = 0.0
     adam_work_s: float = 0.0
     n_batches: int = 0
+    # host<->device traffic accounting (buffer bytes actually moved, i.e.
+    # bucketed transfer sizes, not just valid prefixes): feeds bench.py's
+    # interconnect-projected throughput so the record is comparable to the
+    # reference's PCIe4 wall-clocks even where the sandbox tunnel is slow
+    h2d_bytes: float = 0.0
+    d2h_bytes: float = 0.0
     # optional pinned_host transport (utils/hostmem.PinnedShTable): a
     # host-memory-space mirror of sh_host serving the per-camera SH fetches
     # via a compiled host-DMA gather (--pinned_host + backend support)
@@ -530,6 +536,7 @@ def train_one_batch(
                     )
                     shc_d = None
 
+            ctx.d2h_bytes += new_pending[0].nbytes
             try:
                 new_pending[0].copy_to_host_async()
             except Exception:
@@ -561,6 +568,7 @@ def train_one_batch(
                 shc = ctx.pinned.fetch(gather_idx)
             else:
                 shc = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+            ctx.h2d_bytes += gather_idx.size * SH_COLS * 4
             if grad_buf is None:
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
             tm.stop("clm.fetch_h2d", sync=shc)
@@ -617,6 +625,7 @@ def train_one_batch(
                         ctx.sh_host, next_ids[hn_raw].astype(np.int32)
                     )
                 h_dev = jax.device_put(h_rows)
+            ctx.h2d_bytes += len(hn) * SH_COLS * 4
             shc, grad_buf, g_rows = _advance_working_set(
                 shc, grad_buf, h_dev,
                 jax.device_put(pd), jax.device_put(pn),
@@ -637,6 +646,7 @@ def train_one_batch(
 
         # start the async D2H of this camera's outgoing grads, then drain the
         # PREVIOUS one (whose transfer completed during this micro-step)
+        ctx.d2h_bytes += new_pending[0].nbytes  # bucketed buffer, not prefix
         try:
             new_pending[0].copy_to_host_async()
         except Exception:
@@ -668,7 +678,14 @@ def train_one_batch(
     # the trailing overhead — how long the device sits idle waiting for the
     # host side after its own work is done (the reference's CPU-Adam
     # trailing-overhead meter, engine.py:888-917).
+    # drain the device Adam output too, not just the last micro's loss:
+    # stamping t_dev_done before the Adam step completes would count device
+    # Adam time as host wait and overstate trailing_s / understate
+    # comm_hidden_frac (the reference meters around cpuadam_worker.join()
+    # with the GPU fully drained, engine.py:888-917)
     timer.drain(losses[-1])
+    if not stop_update:
+        timer.drain(new_params.xyz)
     t_dev_done = time.perf_counter()
     if pending is not None:
         drain_fn(ctx, pending, futures, grad_scale, step, stop_update)

@@ -540,17 +540,16 @@ def training(cfg: Config):
                 opt_state if opt_state is not None
                 else init_adam(ckpt_state.params)
             )
-            save_checkpoint(
-                cfg.model.model_path, iteration + bsz, ckpt_state, ckpt_opt, rng
+            s_extra = (
+                strategy.checkpoint_extra(strategy_ctx)
+                if hasattr(strategy, "checkpoint_extra")
+                and strategy_ctx is not None
+                else None
             )
-            if hasattr(strategy, "checkpoint_extra") and strategy_ctx is not None:
-                np.savez(
-                    os.path.join(
-                        cfg.model.model_path, "checkpoints", str(iteration + bsz),
-                        "strategy_extra.npz",
-                    ),
-                    **strategy.checkpoint_extra(strategy_ctx),
-                )
+            save_checkpoint(
+                cfg.model.model_path, iteration + bsz, ckpt_state, ckpt_opt,
+                rng, strategy_extra=s_extra,
+            )
             logger.write(f"[ITER {iteration}] Saving Checkpoint\n")
             e2e.start()
 

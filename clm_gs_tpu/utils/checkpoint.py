@@ -23,6 +23,18 @@ from clm_gs_tpu.models.gaussians import GaussianParams, GaussianState
 from clm_gs_tpu.optim import AdamState
 
 
+def _atomic_savez(path: str, arrays: dict):
+    """np.savez via tmp + os.replace: a SIGKILL mid-write leaves no truncated
+    file behind (the failure mode: resume picks a half-written npz as the
+    latest checkpoint and dies on BadZipFile)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     model_path: str,
     iteration: int,
@@ -30,7 +42,12 @@ def save_checkpoint(
     opt_state: AdamState,
     rng_key,
     extra: Optional[dict] = None,
+    strategy_extra: Optional[dict] = None,
 ):
+    """Crash-safe ordering: all array files land atomically first; meta.json
+    is written (atomically) LAST and acts as the completion marker that
+    `latest_checkpoint` requires — a kill at any point leaves either a
+    complete checkpoint or one that resume skips."""
     out_dir = os.path.join(model_path, "checkpoints", str(iteration))
     os.makedirs(out_dir, exist_ok=True)
     arrays = {}
@@ -45,12 +62,18 @@ def save_checkpoint(
     arrays["max_radii2d"] = np.asarray(state.max_radii2d)
     arrays["steps"] = np.asarray(opt_state.steps)
     arrays["rng_key"] = np.asarray(jax.random.key_data(rng_key))
-    np.savez(os.path.join(out_dir, "chkpnt.npz"), **arrays)
+    _atomic_savez(os.path.join(out_dir, "chkpnt.npz"), arrays)
+    if strategy_extra:
+        _atomic_savez(os.path.join(out_dir, "strategy_extra.npz"), strategy_extra)
     meta = {"iteration": iteration, "n_alive": int(state.n_alive)}
     if extra:
         meta.update(extra)
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
 
 
 def load_checkpoint(path: str) -> Tuple[GaussianState, AdamState, object, int]:
@@ -83,10 +106,18 @@ def load_checkpoint(path: str) -> Tuple[GaussianState, AdamState, object, int]:
 
 
 def latest_checkpoint(model_path: str) -> Optional[str]:
+    """Newest COMPLETE checkpoint dir (meta.json is written last, so its
+    presence certifies every array file landed; incomplete dirs from a crash
+    mid-save are skipped in favor of the previous checkpoint)."""
     root = os.path.join(model_path, "checkpoints")
     if not os.path.isdir(root):
         return None
-    iters = [int(d) for d in os.listdir(root) if d.isdigit()]
-    if not iters:
-        return None
-    return os.path.join(root, str(max(iters)))
+    for it in sorted(
+        (int(d) for d in os.listdir(root) if d.isdigit()), reverse=True
+    ):
+        d = os.path.join(root, str(it))
+        if os.path.exists(os.path.join(d, "meta.json")) and os.path.exists(
+            os.path.join(d, "chkpnt.npz")
+        ):
+            return d
+    return None

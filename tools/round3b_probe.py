@@ -48,7 +48,13 @@ def main():
             rec = None
             for line in proc.stdout.splitlines():
                 if line.startswith("BENCH_CHILD "):
-                    rec = json.loads(line[len("BENCH_CHILD "):])
+                    # a child killed mid-print emits a truncated JSON line;
+                    # fall through to the error-tail record instead of
+                    # aborting the whole sweep
+                    try:
+                        rec = json.loads(line[len("BENCH_CHILD "):])
+                    except json.JSONDecodeError:
+                        rec = None
             if rec is None:
                 tail = (proc.stdout + proc.stderr).strip().splitlines()[-2:]
                 rec = {"error": " | ".join(tail)[-200:]}
