@@ -83,6 +83,22 @@ def combined_loss(image, image_gt, lambda_dssim: float = LAMBDA_DSSIM):
     )
 
 
+def combined_loss_batch(images, gts, lambda_dssim: float = LAMBDA_DSSIM):
+    """Per-camera combined loss for a (B, 3, H, W) batch in ONE blur pass —
+    _ssim_map treats the leading axis as channels, so all B*3 channels (and
+    their five blurred maps) ride one stacked shifted-slice sum instead of B
+    separate 11-tap chains. Returns (B,) losses, each identical in math to
+    combined_loss on that camera."""
+    Bc, c, Hh, Ww = images.shape
+    m = _ssim_map(
+        images.reshape(Bc * c, Hh, Ww), gts.reshape(Bc * c, Hh, Ww),
+        WINDOW_SIZE,
+    )
+    ssim_b = jnp.mean(m.reshape(Bc, c, Hh, Ww), axis=(1, 2, 3))
+    l1_b = jnp.mean(jnp.abs(images - gts), axis=(1, 2, 3))
+    return (1.0 - lambda_dssim) * l1_b + lambda_dssim * (1.0 - ssim_b)
+
+
 def l1_loss_pixelwise_masked(img, gt, mask):
     """Masked pixelwise L1 reduced to a mean over masked pixels."""
     diff = jnp.abs(img - gt) * mask

@@ -552,6 +552,196 @@ def isect_tiles_aligned(
     )
 
 
+class BatchAligned(NamedTuple):
+    """Flat multi-camera aligned layout: camera b's slots occupy
+    [b*cap_padded, (b+1)*cap_padded) with the single-camera structure inside
+    (tile segments aligned to `align`, reals first in depth order, dummies
+    id -1, per-camera invalid slots at the block's back)."""
+
+    ids: jnp.ndarray  # (B*cap_padded,) GLOBAL gaussian id b*N+g; -1 = padding
+    starts: jnp.ndarray  # (B*T,) flat aligned segment starts (b offsets baked)
+    counts: jnp.ndarray  # (B*T,) true per-tile instance counts
+    n_isects: jnp.ndarray  # (B,) true per-camera instance counts
+    counts_orig: jnp.ndarray  # (B*N,) instances per gaussian, global id order
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tile_size", "tile_width", "tile_height", "isect_cap", "align",
+        "update_cap",
+    ),
+)
+def isect_tiles_aligned_batch(
+    means2d,  # (B, N, 2)
+    radii,  # (B, N)
+    depths,  # (B, N)
+    tile_size,
+    tile_width: int,
+    tile_height: int,
+    isect_cap: int,  # per camera
+    align: int,
+    extents=None,  # optional ((B, N), (B, N))
+    update_cap: int = 0,  # per camera
+):
+    """All B cameras binned in ONE dispatch (VERDICT r3 lever #1: amortize the
+    per-camera fixed costs of the sorts/scatters/fills across the batch).
+
+    Same algorithm as `isect_tiles_aligned` generalized with per-camera
+    offsets: the depth sort and cumsums run batched along the camera axis;
+    the expansion scatters into one flat (B*cap) buffer with destination
+    b*cap + start (one forward fill serves all cameras — a camera's slot 0 is
+    always set when it has any instance, so fills never leak across camera
+    boundaries where the per-camera validity bound is live); the tile sort is
+    ONE flat sort keyed b*(T+1) + tile, so camera b's slots land exactly at
+    [b*(cap+align*T), ...) with invalids at the block's back — fixed offsets. Per-tile counts come from the same
+    interval-indicator matmul, batched on the MXU; overflow falls back to one
+    global histogram (batch-level cond, so the fallback never runs in the
+    vmap-style both-branches mode). The per-tile ellipse cull gate is NOT
+    supported here (chip A/B measured it negative; use the single-camera path
+    for that probe). At B=1 the output is bit-identical to
+    `isect_tiles_aligned` with local ids."""
+    B, n = radii.shape
+    T = tile_width * tile_height
+    cap = isect_cap
+
+    rx, ry = extents if extents is not None else (radii, radii)
+    x0, x1, y0, y1 = tile_bbox(
+        means2d.reshape(B * n, 2), rx.reshape(-1), ry.reshape(-1),
+        tile_size, tile_width, tile_height,
+    )
+    geo_pre = ((x0 << 18) | (y0 << 9) | (x1 - x0)).reshape(B, n)
+    valid_g = (radii > 0) & (rx > 0) & (ry > 0)
+    cnt_pre = jnp.where(valid_g, ((x1 - x0) * (y1 - y0)).reshape(B, n), 0)
+    d_key = _depth_key(depths, valid_g & (cnt_pre > 0))
+    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (B, n))
+    _, order, packed_geo, counts_g = jax.lax.sort(
+        (d_key, gid, geo_pre, cnt_pre), dimension=1, num_keys=1, is_stable=True
+    )
+    cum = jnp.cumsum(counts_g, axis=1)
+    n_isects = cum[:, -1]  # (B,)
+    starts_g = cum - counts_g
+    boff = (jnp.arange(B, dtype=jnp.int32) * cap)[:, None]
+    dst = jnp.where(counts_g > 0, starts_g + boff, B * cap)
+
+    uc = min(update_cap, n) if update_cap else n
+    if uc < n:
+        ni_used = jnp.minimum(cum[:, uc - 1], n_isects)
+    else:
+        ni_used = n_isects
+
+    dstf = dst[:, :uc].reshape(-1)
+
+    def scat(src):
+        return jnp.zeros(B * cap, jnp.int32).at[dstf].set(
+            src[:, :uc].reshape(-1), mode="drop"
+        )
+
+    slots = jnp.arange(B * cap, dtype=jnp.int32)
+    geo_s = scat(packed_geo)
+    starts_s = jnp.where(geo_s != 0, slots, 0)  # global slot index
+    order_glob = order + (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
+    geo_f, starts_f, orig_f = _forward_fill((geo_s, starts_s, scat(order_glob)))
+    # per-camera validity bound, broadcast without a gather
+    valid = (
+        jnp.arange(cap, dtype=jnp.int32)[None, :] < ni_used[:, None]
+    ).reshape(-1)
+    local = slots - starts_f
+    w = jnp.maximum(geo_f & 0x1FF, 1)
+    ty = ((geo_f >> 9) & 0x1FF) + local // w
+    tx = (geo_f >> 18) + local % w
+    tile = ty * tile_width + tx  # per-camera tile id; garbage where ~valid
+    key_space = T + 1
+    bkey = jnp.broadcast_to(
+        (jnp.arange(B, dtype=jnp.int32) * key_space)[:, None], (B, cap)
+    ).reshape(-1)
+    keys_real = bkey + jnp.where(valid, tile, T)
+    orig = jnp.where(valid, orig_f, -1)
+
+    # per-tile counts: batched interval-indicator matmul (exact integer f32)
+    x0r, x1r = x0.reshape(B, n), x1.reshape(B, n)
+    y0r, y1r = y0.reshape(B, n), y1.reshape(B, n)
+    ycells = jnp.arange(tile_height, dtype=jnp.int32)[None, None, :]
+    xcells = jnp.arange(tile_width, dtype=jnp.int32)[None, None, :]
+    U = (
+        (ycells >= y0r[:, :, None]) & (ycells < y1r[:, :, None])
+        & valid_g[:, :, None]
+    ).astype(jnp.bfloat16)
+    V = ((xcells >= x0r[:, :, None]) & (xcells < x1r[:, :, None])).astype(
+        jnp.bfloat16
+    )
+    counts_mm = (
+        jax.lax.dot_general(
+            U, V, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        .reshape(B * T)
+        .astype(jnp.int32)
+    )
+
+    def hist_counts(_):
+        gt_tile = (
+            jnp.broadcast_to(
+                (jnp.arange(B, dtype=jnp.int32) * T)[:, None], (B, cap)
+            ).reshape(-1)
+            + jnp.where(valid, tile, 0)
+        )
+        gt_tile = jnp.where(valid, gt_tile, B * T)
+        return jnp.zeros(B * T + 1, jnp.int32).at[gt_tile].add(
+            1, mode="drop"
+        )[: B * T]
+
+    exact_pred = jnp.all(n_isects <= cap)
+    if uc < n:
+        exact_pred = exact_pred & jnp.all(ni_used >= n_isects)
+    counts_t = jax.lax.cond(
+        exact_pred, lambda _: counts_mm, hist_counts, operand=None
+    )
+
+    padded_t = (-(-counts_t // align) * align).reshape(B, T)
+    pcs = jnp.cumsum(padded_t, axis=1)
+    cap_padded = cap + align * T
+    starts = (
+        pcs - padded_t
+        + (jnp.arange(B, dtype=jnp.int32) * cap_padded)[:, None]
+    ).reshape(B * T)
+
+    # alignment dummies, per camera (same scatter+fill pattern; local tile+1
+    # values so leaks across camera boundaries are masked by the per-camera
+    # dummy-count bound exactly like the real expansion)
+    n_dummy_t = (padded_t - counts_t.reshape(B, T)).astype(jnp.int32)
+    dcap = align * T
+    dcum = jnp.cumsum(n_dummy_t, axis=1)
+    dstarts = dcum - n_dummy_t
+    dboff = (jnp.arange(B, dtype=jnp.int32) * dcap)[:, None]
+    ddst = jnp.where(n_dummy_t > 0, dstarts + dboff, B * dcap).reshape(-1)
+    dval = jnp.broadcast_to(
+        jnp.arange(1, T + 1, dtype=jnp.int32)[None, :], (B, T)
+    ).reshape(-1)
+    (dtile_f,) = _forward_fill(
+        (jnp.zeros(B * dcap, jnp.int32).at[ddst].set(dval, mode="drop"),)
+    )
+    dvalid = (
+        (
+            jnp.arange(dcap, dtype=jnp.int32)[None, :]
+            < dcum[:, -1][:, None]
+        ).reshape(-1)
+        & (dtile_f > 0)
+    )
+    dbkey = jnp.broadcast_to(
+        (jnp.arange(B, dtype=jnp.int32) * key_space)[:, None], (B, dcap)
+    ).reshape(-1)
+    keys_dummy = dbkey + jnp.where(dvalid, dtile_f - 1, T)
+
+    keys = jnp.concatenate([keys_real, keys_dummy])
+    payload = jnp.concatenate([orig, jnp.full(B * dcap, -1, jnp.int32)])
+    _, ids = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+    return BatchAligned(
+        ids=ids, starts=starts, counts=counts_t, n_isects=n_isects,
+        counts_orig=cnt_pre.reshape(B * n),
+    )
+
+
 def align_tile_ranges(res: IsectResults, num_tiles: int, align: int, cap_padded: int):
     """Re-lay the sorted instance list so every tile's range starts at a
     multiple of `align` (TPU DMA slices along the instance axis must be

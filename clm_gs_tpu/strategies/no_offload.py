@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from clm_gs_tpu.models.densify import add_densification_stats
 from clm_gs_tpu.models.gaussians import GaussianParams, GaussianState
 from clm_gs_tpu.optim import AdamConfig, AdamState, adam_step
-from clm_gs_tpu.strategies.base import photometric_loss, render_one_cam
+from clm_gs_tpu.strategies.base import (photometric_loss,
+                                        photometric_loss_batch,
+                                        render_cams, render_one_cam)
 
 
 class StepOut(NamedTuple):
@@ -38,7 +40,7 @@ class StepOut(NamedTuple):
     static_argnames=(
         "width", "height", "isect_cap", "sparse_adam", "accumulate_stats",
         "adam_cfg", "lambda_dssim", "loss_scale", "stop_update_param",
-        "update_cap",
+        "update_cap", "micro_group",
     ),
 )
 def train_step(
@@ -59,44 +61,69 @@ def train_step(
     loss_scale: float = 1.0,
     stop_update_param: bool = False,
     update_cap: int = 0,
+    micro_group: int = 0,
 ):
-    """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut)."""
+    """One batched iteration (bsz = B cameras). Returns (state, opt_state, StepOut).
+
+    micro_group G (default 1): cameras are rendered G per dispatch through
+    render_cams and the outer scan runs over B/G groups. G = 1 is the
+    reference's microbatch pipelining (no_offload/engine.py:121-175) — one
+    camera's fwd+bwd at a time, O(1 image) activations — and is ALSO the
+    fastest shape on TPU v5e: chip A/Bs of G = B (one batched dispatch,
+    CLMGS_RAST_BATCH) and of unrolled-G with per-camera rasterize measured
+    5.69 / 7.73 vs 9.7 Mpix/s — binning/gather/kernel element costs are
+    linear-or-worse in instance count, so batching them only loses on layout
+    and residual live-ranges (round-4 xplane evidence in PARITY.md)."""
     params = state.params
     alive = state.alive
     C = params.capacity
     bsz = gt_images.shape[0]
+    G = micro_group if 0 < micro_group < bsz else (bsz if micro_group else 1)
+    if bsz % G != 0:
+        G = 1  # uneven split: per-camera groups
+    n_groups = bsz // G
 
     zero_grads = jax.tree.map(jnp.zeros_like, params)
 
-    def micro(carry, cam):
+    def group(carry, cam):
         grads_acc, stats_acc, vis_any, max_isects = carry
-        viewmat, Kmat, c2w, gt = cam
-        campos = c2w[:3, 3]
+        viewmats, Kmats, c2ws, gts = cam  # (G, ...) each
+        campos = c2ws[:, :3, 3]
 
         def loss_fn(p, probe):
-            out = render_one_cam(
-                p, alive, viewmat, Kmat, campos, sh_degree,
+            out = render_cams(
+                p, alive, viewmats, Kmats, campos, sh_degree,
                 width, height, background, isect_cap, probe=probe,
                 update_cap=update_cap,
             )
-            return photometric_loss(out.image, gt, lambda_dssim, loss_scale), out
+            losses = photometric_loss_batch(
+                out.images, gts, lambda_dssim, loss_scale
+            )
+            # sum of per-camera losses: grads accumulate over the group in
+            # one backward exactly like the reference's .grad accumulation
+            return jnp.sum(losses), (out, losses)
 
-        probe0 = jnp.zeros((C, 2), jnp.float32)
-        (loss, out), (g_params, g_probe) = jax.value_and_grad(
+        probe0 = jnp.zeros((G, C, 2), jnp.float32)
+        (_, (out, losses)), (g_params, g_probe) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, probe0)
 
         grads_acc = jax.tree.map(jnp.add, grads_acc, g_params)
         # carry visibility as f32, not bool: (C,) pred carries cost ~33 ms/cam
         # in layout copies on TPU (measured via xplane trace)
-        visf = (out.radii > 0).astype(jnp.float32)
-        vis_any = jnp.maximum(vis_any, visf)
-        max_isects = jnp.maximum(max_isects, out.n_isects)
+        visf = (out.radii > 0).astype(jnp.float32)  # (G, C)
+        vis_any = jnp.maximum(vis_any, jnp.max(visf, axis=0))
+        max_isects = jnp.maximum(max_isects, jnp.max(out.n_isects))
         if accumulate_stats:
-            g = g_probe * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
-            norm = jnp.linalg.norm(g, axis=-1)
-            stats_acc = (stats_acc[0] + norm * visf, stats_acc[1] + visf)
-        return (grads_acc, stats_acc, vis_any, max_isects), loss
+            g = g_probe * jnp.array(
+                [[[width * 0.5, height * 0.5]]], jnp.float32
+            )
+            norm = jnp.linalg.norm(g, axis=-1)  # (G, C)
+            stats_acc = (
+                stats_acc[0] + jnp.sum(norm * visf, axis=0),
+                stats_acc[1] + jnp.sum(visf, axis=0),
+            )
+        return (grads_acc, stats_acc, vis_any, max_isects), losses
 
     init = (
         zero_grads,
@@ -104,8 +131,23 @@ def train_step(
         jnp.zeros(C, jnp.float32),
         jnp.zeros((), jnp.int32),
     )
-    cam_stack = (cams.viewmats, cams.Ks, cams.camtoworlds, gt_images)
-    (grads, stats, vis_any, max_isects), losses = jax.lax.scan(micro, init, cam_stack)
+
+    def grp(x):
+        return x.reshape((n_groups, G) + x.shape[1:])
+
+    cam_stack = (
+        grp(cams.viewmats), grp(cams.Ks), grp(cams.camtoworlds),
+        grp(gt_images),
+    )
+    if n_groups == 1:
+        sq = lambda t: jax.tree.map(lambda x: x[0], t)
+        carry, losses = group(init, sq(cam_stack))
+        (grads, stats, vis_any, max_isects) = carry
+    else:
+        (grads, stats, vis_any, max_isects), losses = jax.lax.scan(
+            group, init, cam_stack
+        )
+        losses = losses.reshape(bsz)
     vis_any = vis_any > 0
 
     # grad /= bsz before Adam (train.py:533-577)

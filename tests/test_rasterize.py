@@ -673,3 +673,61 @@ def test_update_cap_budget_semantics():
     np.testing.assert_allclose(
         np.asarray(tight[0]), np.asarray(ref[0]), atol=1e-6
     )
+
+
+def test_rasterize_batch_parity():
+    """rasterize_batch (one-dispatch multi-camera binning/gather) must match
+    per-camera rasterize bit-for-bit in the forward and to reassociation
+    tolerance in the gradients (the batched layout bakes per-camera offsets
+    into one flat sort/fill/gather pipeline; ops/tiles.isect_tiles_aligned
+    is its per-camera oracle)."""
+    from clm_gs_tpu.ops.rasterize import rasterize_batch
+
+    rng = np.random.default_rng(0)
+    B, N, W, H = 3, 400, 96, 64
+    means2d = jnp.asarray(rng.uniform(-10, 100, (B, N, 2)).astype(np.float32))
+    L = rng.normal(0, 1, (B, N, 2, 2)).astype(np.float32)
+    cov = L @ np.swapaxes(L, -1, -2) + np.eye(2)[None, None] * 0.5
+    icov = np.linalg.inv(cov)
+    conics = jnp.asarray(
+        np.stack([icov[..., 0, 0], icov[..., 0, 1], icov[..., 1, 1]], -1)
+    )
+    colors = jnp.asarray(rng.uniform(0, 1, (B, N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.05, 0.9, (B, N)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.5, 10, (B, N)).astype(np.float32))
+    radii = jnp.asarray(rng.integers(0, 12, (B, N)).astype(np.float32))
+    cap = 16384
+
+    imgs_b, alphas_b, ni_b = rasterize_batch(
+        means2d, conics, colors, opac, depths, radii, W, H, BG, cap
+    )
+    for b in range(B):
+        img, alpha, ni = rasterize(
+            means2d[b], conics[b], colors[b], opac[b], depths[b], radii[b],
+            W, H, BG, cap,
+        )
+        np.testing.assert_array_equal(np.asarray(imgs_b[b]), np.asarray(img))
+        np.testing.assert_array_equal(np.asarray(alphas_b[b]), np.asarray(alpha))
+        assert int(ni) == int(ni_b[b])
+
+    def loss_b(t):
+        m2, cn, cl, op = t
+        i, _, _ = rasterize_batch(m2, cn, cl, op, depths, radii, W, H, BG, cap)
+        return jnp.sum(i * jnp.cos(jnp.arange(i.size).reshape(i.shape) * 0.13))
+
+    gb = jax.grad(loss_b)((means2d, conics, colors, opac))
+
+    def loss_s(t, b):
+        m2, cn, cl, op = t
+        i, _, _ = rasterize(m2, cn, cl, op, depths[b], radii[b], W, H, BG, cap)
+        w3 = jnp.cos(
+            jnp.arange(B * i.size).reshape((B,) + i.shape) * 0.13
+        )[b]
+        return jnp.sum(i * w3)
+
+    for b in range(B):
+        gs = jax.grad(loss_s)((means2d[b], conics[b], colors[b], opac[b]), b)
+        for j in range(4):
+            sc = float(jnp.max(jnp.abs(gs[j]))) + 1e-9
+            d = float(jnp.max(jnp.abs(gb[j][b] - gs[j])))
+            assert d / sc < 1e-4, (b, j, d, sc)
