@@ -116,6 +116,25 @@ def spherical_harmonics_vjp_coeffs(active_degree, dirs, v_colors):
     return basis[..., None] * v_colors[..., None, :]  # (N, 16, 3)
 
 
+def sh_color_flat(basis, sh_flat):
+    """Contract a masked (N, 16) basis with the FLAT (N, 48) coefficient table
+    without reshaping it to (N, 16, 3): color_c = sum_k basis_k * sh[:, 3k+c].
+
+    Rationale: the einsum over a reshaped (N, 16, 3) view makes XLA:TPU
+    materialize the table in a {0,2,1} layout (an extra ~380 MB of HBM
+    traffic per camera at 1M Gaussians — xplane trace: reshape.2472 +
+    copy-start.3). Chip A/B (bench scene, 2026-08-20) measured this variant
+    a NET LOSS anyway: 9.04 vs 9.69 Mpix/s — the three strided lane slices
+    (stride-3 masks on a 48-lane row) cost more VPU select/compress work
+    than the relayout's bandwidth. Kept behind CLMGS_SH_FLAT=1 (default
+    OFF) for other hardware generations.
+    """
+    return jnp.stack(
+        [jnp.sum(basis * sh_flat[:, c::3], axis=-1) for c in range(3)],
+        axis=-1,
+    )
+
+
 def eval_color(active_degree, means, campos, coeffs):
     """Full color path: dirs -> SH -> +0.5 -> clamp_min(0) (base_engine.py:161-164)."""
     dirs = means - campos[None, :]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from clm_gs_tpu.models.gaussians import GaussianParams, activated, sh_coeffs
 from clm_gs_tpu.ops.projection import fully_fused_projection
 from clm_gs_tpu.ops.rasterize import rasterize, rasterize_batch
-from clm_gs_tpu.ops.sh import degree_mask, sh_basis
+from clm_gs_tpu.ops.sh import degree_mask, sh_basis, sh_color_flat
 from clm_gs_tpu.ops.ssim import combined_loss, combined_loss_batch
 
 TILE_SIZE = 16  # base_engine.py:15
@@ -65,9 +65,12 @@ def render_one_cam(
         means2d = means2d + probe
     dirs = params.xyz - campos[None, :]
     basis = sh_basis(dirs) * degree_mask(sh_degree)
-    colors = jnp.maximum(
-        jnp.einsum("nk,nkc->nc", basis, sh_coeffs(params)) + 0.5, 0.0
-    )
+    if os.environ.get("CLMGS_SH_FLAT", "0") == "1":
+        colors = jnp.maximum(sh_color_flat(basis, params.sh) + 0.5, 0.0)
+    else:
+        colors = jnp.maximum(
+            jnp.einsum("nk,nkc->nc", basis, sh_coeffs(params)) + 0.5, 0.0
+        )
     image, alpha, n_isects = rasterize(
         means2d, proj.conics[0], colors, opac,
         proj.depths[0], proj.radii[0], width, height, background, isect_cap,
@@ -122,9 +125,12 @@ def render_cams(
         means2d = means2d + probe
     dirs = params.xyz[None, :, :] - campos[:, None, :]  # (G, C, 3)
     basis = sh_basis(dirs) * degree_mask(sh_degree)  # (G, C, 16)
-    colors = jnp.maximum(
-        jnp.einsum("gnk,nkc->gnc", basis, sh_coeffs(params)) + 0.5, 0.0
-    )
+    if os.environ.get("CLMGS_SH_FLAT", "0") == "1":
+        colors = jnp.maximum(sh_color_flat(basis, params.sh) + 0.5, 0.0)
+    else:
+        colors = jnp.maximum(
+            jnp.einsum("gnk,nkc->gnc", basis, sh_coeffs(params)) + 0.5, 0.0
+        )
     if os.environ.get("CLMGS_RAST_BATCH") == "1":
         # one-dispatch binning/gather/kernels for all G cameras. Chip A/B at
         # bench scale measured this a NET LOSS (5.69 vs 9.7 Mpix/s): the
