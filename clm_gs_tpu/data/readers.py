@@ -161,6 +161,15 @@ def _read_transforms_cameras(
         with open(ocean_path) as f:
             ocean = json.load(f)["frames"]
         assert len(ocean) == len(frames), "ocean info does not match frames"
+        for i, (fr, o) in enumerate(zip(frames, ocean)):
+            # the ocean file carries bare names; the transforms file may
+            # carry a path — suffix match, exactly as the reference asserts
+            # (dataset_readers.py:292-299)
+            name = fr.get("file_name") or fr["file_path"]
+            assert name.endswith(o["file_name"]), (
+                f"ocean info does not match frames at index {i}: "
+                f"{name} vs {o['file_name']}"
+            )
         frames = [fr for fr, o in zip(frames, ocean) if not o["is_ocean"]]
 
     fovx_global = transforms.get("camera_angle_x")

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import os
 
 WINDOW_SIZE = 11
 SIGMA = 1.5
@@ -31,14 +32,35 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+def _blur_axis1(x, w, window_size: int):
+    """11-tap blur along axis 1 of (C, A, B) via shifted slices. Axis 1 is
+    the SUBLANE axis on TPU, where shifted-slice sums fuse into one
+    bandwidth-bound pass; the same sum along the lane (minor) axis forces a
+    lane rotation per tap (~11x the traffic in relayouts)."""
+    half = window_size // 2
+    A = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
+    return sum(float(w[k]) * xp[:, k : k + A, :] for k in range(window_size))
+
+
 def _blur_sep(x, window_size: int):
     """Separable Gaussian blur of (C, H, W) with zero ('same') padding,
-    written as unrolled shifted-slice sums (no conv op)."""
+    written as unrolled shifted-slice sums (no conv op).
+
+    Default path runs BOTH 1-D blurs along the sublane axis, transposing the
+    pixel plane between them: transpose costs ~2 extra bandwidth passes but
+    replaces 11 lane-rotation relayouts (chip A/B 2026-08-20, 60-channel
+    1237x822 stack, fwd+bwd: see tools/ssim_probe.py). CLMGS_SSIM_T=0
+    restores the lane-shift form. Output is bitwise identical between the
+    two (same tap order and f32 math, only the layout differs)."""
     w = _gaussian_window(window_size, SIGMA)
+    x = _blur_axis1(x, w, window_size)  # blur H (sublanes)
+    if os.environ.get("CLMGS_SSIM_T", "1") != "0":
+        xt = jnp.transpose(x, (0, 2, 1))  # (C, W, H)
+        xt = _blur_axis1(xt, w, window_size)  # blur W (now sublanes)
+        return jnp.transpose(xt, (0, 2, 1))
     half = window_size // 2
-    _, H, W = x.shape
-    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
-    x = sum(float(w[k]) * xp[:, k : k + H, :] for k in range(window_size))
+    W = x.shape[2]
     xp = jnp.pad(x, ((0, 0), (0, 0), (half, half)))
     return sum(float(w[k]) * xp[:, :, k : k + W] for k in range(window_size))
 

@@ -175,3 +175,102 @@ def test_dense_ply_file_overrides_init_points(tmp_path):
     assert len(info.point_cloud.points) == 333
     np.testing.assert_allclose(info.point_cloud.points, pts, atol=1e-6)
     assert info.ply_path == dense
+
+
+class TestCityRealSchema:
+    """Fixtures transcribed from the reference's MatrixCity parsing branches
+    (dataset_readers.py:255-389): per-frame fl_x/fl_y intrinsics (no global
+    camera_angle_x), transforms carrying subdirectory paths while the ocean
+    file carries bare names (suffix match), length/suffix mismatches
+    asserting, and missing image files skipped — the real-data schema
+    variants the synthetic city generator never exercises."""
+
+    def _make(self, tmp_path, per_frame_focal=False, subdir_names=False,
+              n=4, ocean_names=None, ocean_len=None, drop_image=None):
+        root = tmp_path / "city" / "pose" / "block_all"
+        os.makedirs(root, exist_ok=True)
+        frames = []
+        for i in range(n):
+            bare = f"{i:04d}.png"
+            name = f"block_A/{bare}" if subdir_names else bare
+            if drop_image is None or i != drop_image:
+                _write_img(str(tmp_path / "city" / "train" / name))
+            fr = {"file_name": name,
+                  "transform_matrix": _c2w(0.5 * i).tolist()}
+            if per_frame_focal:
+                # focal in pixels, as real MatrixCity blocks provide
+                # (fl_x = fl_y = 16 at w=32 -> fovx = 2*atan(1) = pi/2)
+                fr["fl_x"] = 16.0
+                fr["fl_y"] = 16.0
+            frames.append(fr)
+        d = {"frames": frames}
+        if not per_frame_focal:
+            d["camera_angle_x"] = 0.8
+        with open(root / "transforms_train.json", "w") as f:
+            json.dump(d, f)
+        # test split: minimal single frame
+        _write_img(str(tmp_path / "city" / "test" / "t_0000.png"))
+        tf = {"camera_angle_x": 0.8,
+              "frames": [{"file_name": "t_0000.png",
+                          "transform_matrix": _c2w(1.0).tolist()}]}
+        with open(root / "transforms_test.json", "w") as f:
+            json.dump(tf, f)
+        with open(root / "transforms_test_ocean_info.json", "w") as f:
+            json.dump({"frames": [{"file_name": "t_0000.png",
+                                   "is_ocean": False}]}, f)
+        if ocean_names is not None or ocean_len is not None:
+            names = ocean_names
+            if names is None:
+                names = [fr["file_name"].split("/")[-1] for fr in frames]
+                names = names[:ocean_len]
+            with open(root / "transforms_train_ocean_info.json", "w") as f:
+                json.dump(
+                    {"frames": [{"file_name": nm, "is_ocean": j == 0}
+                                for j, nm in enumerate(names)]}, f)
+        write_ply_points(
+            str(root / "point_cloud.ply"),
+            np.random.RandomState(0).rand(20, 3).astype(np.float32),
+            np.random.RandomState(1).rand(20, 3).astype(np.float32),
+        )
+        return str(root)
+
+    def test_per_frame_focal(self, tmp_path):
+        root = self._make(tmp_path, per_frame_focal=True)
+        info = readers.read_city_scene(
+            root, ply_path=os.path.join(root, "point_cloud.ply"))
+        cam = info.train_cameras[0]
+        # fovx = 2*atan(w / (2*fl_x)) = 2*atan(1); fovy = 2*atan(h/(2*fl_y))
+        assert abs(cam.fovx - 2 * np.arctan(32 / 32.0)) < 1e-6
+        assert abs(cam.fovy - 2 * np.arctan(24 / 32.0)) < 1e-6
+
+    def test_subdir_names_with_bare_ocean_names(self, tmp_path):
+        root = self._make(tmp_path, subdir_names=True, ocean_len=4)
+        info = readers.read_city_scene(
+            root, ply_path=os.path.join(root, "point_cloud.ply"),
+            ocean_mask=True)
+        # frame 0 is ocean -> dropped; suffix match must accept
+        # "block_A/0001.png".endswith("0001.png")
+        assert len(info.train_cameras) == 3
+
+    def test_ocean_length_mismatch_raises(self, tmp_path):
+        root = self._make(tmp_path, ocean_len=3)
+        with pytest.raises(AssertionError, match="ocean info"):
+            readers.read_city_scene(
+                root, ply_path=os.path.join(root, "point_cloud.ply"),
+                ocean_mask=True)
+
+    def test_ocean_name_mismatch_raises(self, tmp_path):
+        root = self._make(
+            tmp_path,
+            ocean_names=["9999.png", "0001.png", "0002.png", "0003.png"])
+        with pytest.raises(AssertionError, match="index 0"):
+            readers.read_city_scene(
+                root, ply_path=os.path.join(root, "point_cloud.ply"),
+                ocean_mask=True)
+
+    def test_missing_image_skipped(self, tmp_path):
+        root = self._make(tmp_path, drop_image=2)
+        info = readers.read_city_scene(
+            root, ply_path=os.path.join(root, "point_cloud.ply"))
+        assert len(info.train_cameras) == 3
+        assert all("0002" not in c.image_name for c in info.train_cameras)
