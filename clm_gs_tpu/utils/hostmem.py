@@ -15,9 +15,23 @@ reject host-space programs), so the transport is probed once at runtime and
 fallback stays the default (`--pinned_host` opts in, bench.py reports the
 probe result either way).
 
-Scope: the latency-critical H2D fetch direction. The D2H gradient offload
-keeps the numpy scatter path — the host Adam (csrc/cpu_adam.cpp) consumes
-raw numpy buffers, so its input must materialize host-side anyway.
+Both directions are covered:
+
+  - H2D fetch (`PinnedShTable.fetch`) — send_shs2gpu_stream analogue.
+  - D2H gradient offload (`PinnedGradBuffer.offload`) — the
+    send_shs2cpu_grad_buffer_stream analogue (engine.py:789-825): the
+    per-camera compact grad rows scatter-ADD directly into a host-space
+    (C, 48) buffer by a jitted `t.at[i].add(g)` program with the table
+    donated, so the compiler emits the chip->pinned-host DMA and the
+    accumulate runs where the buffer lives — no device staging array, no
+    numpy scatter on the drain path. The host Adam then consumes
+    `to_numpy()` (zero-copy when the backend maps pinned host into the
+    process; one host<->host copy otherwise).
+
+This sandbox's backend rejects host-space programs entirely (probe() is
+False), so both directions stay inert here and the numpy scatter fallback
+(`native.scatter_add_rows`) remains the default; the programs are validated
+with kind="device" in tests/test_hostmem.py.
 """
 
 from __future__ import annotations
@@ -110,6 +124,57 @@ class PinnedShTable:
             np.ascontiguousarray(values, np.float32), self.host_sh
         )
         self.table = self._update(self.table, i, v)
+
+
+class PinnedGradBuffer:
+    """Host-space (C, 48) SH-gradient accumulator fed by device-side compact
+    grad rows: the D2H direction of the pinned transport (symmetric to
+    PinnedShTable's H2D fetch).
+
+    offload(g_dev, idx) accumulates g_dev[:len(idx)] into rows `idx` without
+    materializing g_dev on the host first: the jitted scatter-add takes the
+    device array as input, the donated host-space table as accumulator, and
+    the compiler schedules the transfer. reset_rows zeroes rows the host
+    Adam consumed (version-3 grad zeroing, cpu_adam.cpp contract)."""
+
+    def __init__(self, shape, kind: str = "pinned_host"):
+        self.kind = kind
+        self.host_sh, self.dev_sh = _shardings()
+        if kind != "pinned_host":
+            self.host_sh = self.dev_sh
+        self.table = jax.device_put(
+            np.zeros(shape, np.float32), self.host_sh
+        )
+        self._add = jax.jit(
+            lambda t, i, g: t.at[i].add(g),
+            in_shardings=(self.host_sh, self.host_sh, self.dev_sh),
+            out_shardings=self.host_sh,
+            donate_argnums=(0,),
+        )
+        self._reset = jax.jit(
+            lambda t, i: t.at[i].set(0.0),
+            in_shardings=(self.host_sh, self.host_sh),
+            out_shardings=self.host_sh,
+            donate_argnums=(0,),
+        )
+
+    def offload(self, g_dev, idx: np.ndarray):
+        """Scatter-add device grad rows into the host buffer. idx rows must
+        be valid (pre-clamped); g_dev rows beyond len(idx) are ignored by
+        passing only the prefix."""
+        if len(idx) == 0:
+            return
+        i = jax.device_put(np.ascontiguousarray(idx, np.int32), self.host_sh)
+        self.table = self._add(self.table, i, g_dev[: len(idx)])
+
+    def reset_rows(self, idx: np.ndarray):
+        if len(idx) == 0:
+            return
+        i = jax.device_put(np.ascontiguousarray(idx, np.int32), self.host_sh)
+        self.table = self._reset(self.table, i)
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.table)
 
 
 def make_row_updater(table_like: "PinnedShTable"):

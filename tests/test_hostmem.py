@@ -97,3 +97,30 @@ def test_clm_batch_with_forced_device_kind_table():
             np.asarray(getattr(s_ph.params, name)),
             err_msg=name,
         )
+
+
+def test_grad_buffer_offload_matches_native_scatter_add():
+    """D2H direction (device-kind path): PinnedGradBuffer.offload must equal
+    the numpy-fallback native.scatter_add_rows accumulate, including
+    duplicate target rows and multi-camera accumulation."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    ref = np.zeros((64, 48), np.float32)
+    buf = hostmem.PinnedGradBuffer((64, 48), kind="device")
+    for _ in range(3):  # three cameras' drains
+        g = rng.rand(8, 48).astype(np.float32)
+        idx = rng.randint(0, 64, size=5).astype(np.int32)
+        native.scatter_add_rows(ref, g[:5], idx, accumulate=True)
+        buf.offload(jnp.asarray(g), idx)
+    np.testing.assert_allclose(buf.to_numpy(), ref, rtol=1e-6)
+
+
+def test_grad_buffer_reset_rows():
+    buf = hostmem.PinnedGradBuffer((16, 48), kind="device")
+    import jax.numpy as jnp
+
+    buf.offload(jnp.ones((4, 48), jnp.float32), np.array([1, 2], np.int32))
+    buf.reset_rows(np.array([1], np.int32))
+    out = buf.to_numpy()
+    assert out[1].sum() == 0.0 and out[2].sum() == 48.0
