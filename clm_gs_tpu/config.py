@@ -191,6 +191,12 @@ class TpuParams:
     # cap the longer image side during eval renders (integer downsample of
     # render + GT); 0 = full resolution
     eval_res_cap: int = 0
+    # device-resident uint8 GT cache budget (MB): when the whole train set
+    # fits, it uploads ONCE and each batch gathers + normalizes on device —
+    # removes the ~12 MB/image float32 upload from every batch (host-link
+    # bandwidth AND, on this sandbox's plugin, a per-transfer client staging
+    # leak). 0 disables; single-chip only (mesh runs keep streaming).
+    gt_device_cache_mb: int = 2048
 
 
 @dataclass

@@ -87,7 +87,12 @@ def load_raw_image(cache_dir: str, image_name: str, width: int, height: int):
 
 class SceneDataset:
     """Shuffled epoch sampler over pre-decoded cameras with one prefetch
-    thread. Yields (cameras: List[Camera], gt: (bsz, 3, H, W) float32)."""
+    thread. Yields (cameras, gt, indices): gt is the (bsz, 3, H, W) float32
+    host batch, or None when `skip_load` is set — the trainer then gathers
+    the batch on-device from its resident uint8 GT cache by `indices`
+    (uploading every batch's float32 images through the host link costs
+    ~49 MB/batch at 1 Mpix AND leaks client staging on this sandbox's
+    plugin; the resident u8 cache uploads the whole train set once)."""
 
     def __init__(
         self,
@@ -99,6 +104,7 @@ class SceneDataset:
         seed: int = 0,
         prefetch: int = 2,
         workers: int = 1,
+        skip_load: bool = False,
     ):
         assert len(cams) > 0
         self.cams = cams
@@ -106,6 +112,7 @@ class SceneDataset:
         self.width = width
         self.height = height
         self.bsz = bsz
+        self.skip_load = skip_load
         self.rng = np.random.RandomState(seed)
         self.epoch = 0
         self._order: List[int] = []
@@ -133,15 +140,18 @@ class SceneDataset:
         while not self._stop.is_set():
             idxs = self._next_indices()
             cams = [self.cams[i] for i in idxs]
-            gt = np.stack(
-                [
-                    load_raw_image(self.cache_dir, c.image_name, self.width, self.height)
-                    for c in cams
-                ]
-            ).astype(np.float32) / 255.0
+            if self.skip_load:
+                gt = None
+            else:
+                gt = np.stack(
+                    [
+                        load_raw_image(self.cache_dir, c.image_name, self.width, self.height)
+                        for c in cams
+                    ]
+                ).astype(np.float32) / 255.0
             while not self._stop.is_set():
                 try:
-                    self._queue.put((cams, gt), timeout=0.2)
+                    self._queue.put((cams, gt, idxs), timeout=0.2)
                     break
                 except queue.Full:
                     continue

@@ -110,13 +110,14 @@ class Scene:
         log(f"Initialized {int(self.gaussians.n_alive)} gaussians "
             f"(capacity {self.gaussians.capacity})\n")
 
-    def train_dataset(self, bsz: int) -> D.SceneDataset:
+    def train_dataset(self, bsz: int, skip_load: bool = False) -> D.SceneDataset:
         # --num_workers: extra producer threads like the reference DataLoader's
         # workers (train.py:157-167; its scripts use 0-1)
         return D.SceneDataset(
             self.train_cameras, self.cfg.aux.decode_dataset_path,
             self.width, self.height, bsz, seed=self.cfg.debug.seed,
             workers=max(1, self.cfg.aux.num_workers),
+            skip_load=skip_load,
         )
 
     def save(self, iteration: int, logger=None):

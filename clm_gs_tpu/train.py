@@ -153,7 +153,31 @@ def training(cfg: Config):
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
         jnp.float32,
     )
-    dataset = scene.train_dataset(bsz)
+    # device-resident uint8 GT cache: upload the whole train set once and
+    # gather batches on device, instead of a ~12 MB/image float32 upload
+    # every batch (host-link bandwidth + per-transfer staging growth on this
+    # sandbox's plugin). Single-chip only — mesh runs stream + reshard.
+    gt_cache = None
+    gt_bytes = len(scene.train_cameras) * 3 * W * H
+    if (cfg.tpu.gt_device_cache_mb > 0
+            and gt_bytes <= cfg.tpu.gt_device_cache_mb * 2**20
+            and not (cfg.tpu.shard_gaussians and len(jax.devices()) > 1)):
+        from clm_gs_tpu.data.dataset import load_raw_image
+
+        gt_cache = jnp.asarray(
+            np.stack(
+                [
+                    load_raw_image(cfg.aux.decode_dataset_path, c.image_name, W, H)
+                    for c in scene.train_cameras
+                ]
+            )
+        )
+        jax.block_until_ready(gt_cache)
+        logger.write(
+            f"GT device cache: {len(scene.train_cameras)} images "
+            f"({gt_bytes / 2**20:.0f} MB u8)\n"
+        )
+    dataset = scene.train_dataset(bsz, skip_load=gt_cache is not None)
     isect_cap = cfg.tpu.isect_cap
     vis_cap = 0  # scatter-update budget; 0 = full until first-batch sizing
     gather_cap = cfg.tpu.gather_cap  # multi-chip visible-gather budget
@@ -278,9 +302,15 @@ def training(cfg: Config):
         }
 
         timers.start("data_next")
-        cams, gt = dataset.next_batch()
+        cams, gt, b_idxs = dataset.next_batch()
         cb = stack_cameras(cams)
-        gt = jnp.asarray(gt)
+        if gt_cache is not None:
+            # on-device gather + normalize; u8/255 in f32 is bitwise equal to
+            # the host path's astype(float32)/255 upload
+            gt = gt_cache[jnp.asarray(np.asarray(b_idxs, np.int32))]
+            gt = gt.astype(jnp.float32) / 255.0
+        else:
+            gt = jnp.asarray(gt)
         timers.stop("data_next")
         if cfg.opt.random_background:
             rng, sub = jax.random.split(rng)

@@ -49,7 +49,7 @@ def main():
     }
     background = jnp.zeros(3, jnp.float32)
     dataset = scene.train_dataset(bsz)
-    cams, gt = dataset.next_batch()
+    cams, gt, _idxs = dataset.next_batch()
     cb = stack_cameras(cams)
     gt = jnp.asarray(gt)
 

@@ -41,6 +41,8 @@ def main():
     os.environ.setdefault("CLMGS_BENCH_H", "240")
     os.environ.setdefault("CLMGS_BENCH_ISECT", "262144")
     import jax
+    if os.environ.get('RSSP_CPU') == '1':
+        jax.config.update('jax_platforms', 'cpu')
 
     from clm_gs_tpu.config import Config, init_config
     from clm_gs_tpu.optim import init_adam
