@@ -96,6 +96,33 @@ def _slab_p() -> int:
 
 
 ALIGN = K  # per-tile ranges own whole chunks
+
+# --- packed chunk plan -------------------------------------------------------
+# The kernels' per-chunk metadata is scalar-prefetched into the 1 MB SMEM, so
+# its footprint bounds the renderable resolution: the round-3 five-s32 layout
+# (20 B/chunk) overflowed at isect_cap ~6.5M (BigCity 640x400 / any 4K). Two
+# structural facts shrink it:
+#   * the aligned slot layout is DENSE in K-chunks (align_tile_ranges:
+#     starts = cumsum(ceil(counts/K)*K)), so a chunk's attr/grad block index
+#     EQUALS its grid index — no cslot array needed in the forward at all;
+#   * the kernels only need (tile, n_valid, is_first, is_last), which packs
+#     into ONE s32: ct << S_CT | cnv << 2 | first << 1 | last.
+# Forward SMEM is therefore 4 B/chunk always (172k chunks at 4K = 688 KB).
+# The backward's dead-chunk compaction permutes chunks, breaking the
+# block==grid-index identity, so it carries an explicit cslot (8 B/chunk) —
+# kept only while 2 words fit comfortably (chunk_cap <= COMPACT_MAX_CHUNKS);
+# above that the backward skips compaction (identity blocks, zero-filled
+# dead chunks) and stays at 4 B/chunk.
+CNV_BITS = max(K.bit_length(), 8)
+S_CT = 2 + CNV_BITS
+CNV_MASK = (1 << CNV_BITS) - 1
+COMPACT_MAX_CHUNKS = 96 * 1024
+
+
+def _pack_plan_word(ct, cnv, first, clast):
+    return (
+        (ct << S_CT) | (cnv << 2) | (first.astype(jnp.int32) << 1) | clast
+    ).astype(jnp.int32)
 ALPHA_THRESHOLD = 1.0 / 255.0
 T_EPS = 1e-4
 MAX_ALPHA = 0.999
@@ -291,16 +318,19 @@ def _chunk_compositing(g, T, done):
     return w, T_excl, keep, T_new, done_new
 
 
-def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
+def _fwd_kernel(wp, attrs_ref, out_ref,
                 t_ref, done_ref, *, tile_width, num_tiles, tiles_per_cam):
     i = pl.program_id(0)
-    tile = ct[i]
+    wi = wp[i]
+    tile = wi >> S_CT
+    nv = (wi >> 2) & CNV_MASK
+    first = ((wi >> 1) & 1) == 1
     alive = tile < num_tiles
-    # multi-camera batches: ct is the GLOBAL tile (b*T + t); pixel coords use
-    # the camera-local tile (identity when B == 1)
+    # multi-camera batches: the tile is the GLOBAL tile (b*T + t); pixel
+    # coords use the camera-local tile (identity when B == 1)
     tloc = jax.lax.rem(tile, tiles_per_cam)
 
-    @pl.when(alive & (cloc[i] == 0))
+    @pl.when(alive & first)
     def _():
         t_ref[:] = jnp.ones((1, P), jnp.float32)
         done_ref[:] = jnp.zeros((1, P), jnp.float32)
@@ -318,7 +348,7 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
         for s in range(P // ps):
             sl = slice(s * ps, (s + 1) * ps)
             coords = _pixel_coords(tloc, tile_width, s, ps)
-            g = _chunk_geometry(coords, buf_t, cnv[i])
+            g = _chunk_geometry(coords, buf_t, nv)
             done = done_ref[:, sl] > 0.5
             w, _, _, T_new, done_new = _chunk_compositing(g, t_ref[:, sl], done)
             contrib = jax.lax.dot_general(
@@ -328,27 +358,29 @@ def _fwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, out_ref,
             out_ref[0, 0:4, sl] += contrib
             t_ref[:, sl] = T_new
             done_ref[:, sl] = done_new.astype(jnp.float32)
-        # row 4 records how many chunks this tile actually composited: the
-        # backward compacts its grid to these live prefixes (post-termination
-        # chunks have zero gradient but still cost a block fetch + grid step
-        # each). Folding it into the revisited out block instead of a separate
-        # per-tile output removes one whole block stream from the pipeline
-        # (per-grid-step fixed cost is ~0.4 us per stream). The background
-        # fold happens outside the kernel in XLA (rows 0:3 + T_fin*bg).
-        out_ref[0, 4:5, :] = jnp.full(
-            (1, P), (cloc[i] + 1).astype(jnp.float32)
-        )
+        # row 4 counts how many chunks this tile actually composited (one
+        # increment per composited chunk — composited chunks are a prefix,
+        # so the final value equals the old absolute cloc+1 write): the
+        # backward compacts its grid to these live prefixes. Folding it into
+        # the revisited out block instead of a separate per-tile output
+        # removes one whole block stream from the pipeline (~0.4 us per
+        # grid step per stream). The background fold happens outside the
+        # kernel in XLA (rows 0:3 + T_fin*bg).
+        out_ref[0, 4:5, :] += jnp.ones((1, P), jnp.float32)
 
 
-def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
+def _bwd_kernel(wp, attrs_ref, v_ref, grads_ref,
                 t_ref, done_ref, e_ref, *, tile_width, num_tiles,
                 tiles_per_cam):
     i = pl.program_id(0)
-    tile = ct[i]
+    wi = wp[i]
+    tile = wi >> S_CT
+    nv = (wi >> 2) & CNV_MASK
+    first = ((wi >> 1) & 1) == 1
     alive = tile < num_tiles
     tloc = jax.lax.rem(tile, tiles_per_cam)
 
-    @pl.when(alive & (cloc[i] == 0))
+    @pl.when(alive & first)
     def _():
         t_ref[:] = jnp.ones((1, P), jnp.float32)
         done_ref[:] = jnp.zeros((1, P), jnp.float32)
@@ -385,7 +417,7 @@ def _bwd_kernel(ct, cloc, cs, cnv, clast, attrs_ref, v_ref, grads_ref,
             v4 = v_ref[0, 0:4, sl]
             d_tot = v_ref[0, 4:5, sl]  # (1, ps)
             T, done, E = t_ref[:, sl], done_ref[:, sl] > 0.5, e_ref[:, sl]
-            g = _chunk_geometry(coords, buf_t, cnv[i])
+            g = _chunk_geometry(coords, buf_t, nv)
             w, T_excl, keep, T_new, done_new = _chunk_compositing(g, T, done)
 
             # dot1[k,p] = sum_c ctilde[k,c] v4[c,p]
@@ -515,20 +547,26 @@ def _chunk_plan_batch(counts, starts, B: int, T: int, pcc: int,
     ).reshape(-1)
     ct = jnp.where(valid, tile, T).astype(jnp.int32)
     cloc = jnp.where(valid, local, 0).astype(jnp.int32)
-    cslot = jnp.where(
-        valid, (starts[gidx] - cpb) // K + local, n_blocks_per_cam - 1
-    ).astype(jnp.int32)
     cnv = jnp.where(
         valid, jnp.clip(counts[gidx] - local * K, 0, K), 0
     ).astype(jnp.int32)
     clast = (valid & (local == nch.reshape(-1)[gidx] - 1)).astype(jnp.int32)
-    return ct, cloc, cslot, cnv, clast
+    w = _pack_plan_word(ct, cnv, valid & (local == 0), clast)
+    if pcc <= COMPACT_MAX_CHUNKS:
+        cslot = jnp.where(
+            valid, (starts[gidx] - cpb) // K + local, n_blocks_per_cam - 1
+        ).astype(jnp.int32)
+    else:
+        cslot = cloc = None
+    return w, cslot, cloc
 
 
 def _chunk_plan(counts, starts, num_tiles: int, chunk_cap: int, n_blocks: int):
     """Chunk list (in-XLA, cheap): one entry per K-instance chunk, tile-major.
     Unused entries point at the trash tile/block. Returns
-    (tile, local_idx, attr_block, n_valid_rows, is_last, tile_counts)."""
+    (packed_word, cslot_or_None, cloc_or_None, tile_counts) — see the packed
+    chunk plan note at the top of this file."""
+    assert num_tiles < (1 << (31 - S_CT)), (num_tiles, S_CT)
     nchunks = -(-counts // K)  # (T,)
     ccum = jnp.cumsum(nchunks)
     ctotal = ccum[-1]
@@ -550,14 +588,18 @@ def _chunk_plan(counts, starts, num_tiles: int, chunk_cap: int, n_blocks: int):
     tile_c = jnp.clip(tile, 0, num_tiles - 1)
     ct = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     cloc = jnp.where(valid, local, 0).astype(jnp.int32)
-    cslot = jnp.where(valid, starts[tile_c] // K + local, n_blocks - 1).astype(
-        jnp.int32
-    )
     cnv = jnp.where(valid, jnp.clip(counts[tile_c] - local * K, 0, K), 0).astype(
         jnp.int32
     )
     clast = (valid & (local == nchunks[tile_c] - 1)).astype(jnp.int32)
-    return (ct, cloc, cslot, cnv, clast, counts.astype(jnp.int32))
+    w = _pack_plan_word(ct, cnv, valid & (local == 0), clast)
+    if chunk_cap <= COMPACT_MAX_CHUNKS:
+        cslot = jnp.where(
+            valid, starts[tile_c] // K + local, n_blocks - 1
+        ).astype(jnp.int32)
+    else:
+        cslot = cloc = None
+    return (w, cslot, cloc, counts.astype(jnp.int32))
 
 
 
@@ -687,19 +729,21 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
     tw, th, chunk_cap, n_cams = meta
     tiles_per_cam = tw * th
     num_tiles = n_cams * tiles_per_cam
-    ct, cloc, cslot, cnv, clast, counts = plan
+    wp, cslot, cloc, counts = plan
     attrs_b = _attrs_blocks(attrs_rows)
+    # attr block == grid index (dense K-aligned layout); only the packed
+    # plan word is scalar-prefetched — 4 B/chunk of SMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=1,
         grid=(chunk_cap,),
         in_specs=[
             pl.BlockSpec(
                 (1, ATTR_ROWS, K),
-                lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0),
+                lambda i, w: (i, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, OUT_ROWS, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)
+            (1, OUT_ROWS, P), lambda i, w: (w[i] >> S_CT, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -707,9 +751,8 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
         ],
     )
 
-    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, out_ref,
-             t_ref, done_ref):
-        _fwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, out_ref,
+    def kern(w_r, attrs_ref, out_ref, t_ref, done_ref):
+        _fwd_kernel(w_r, attrs_ref, out_ref,
                     t_ref, done_ref, tile_width=tw, num_tiles=num_tiles,
                     tiles_per_cam=tiles_per_cam)
 
@@ -721,7 +764,7 @@ def _rasterize_sorted_fwd(attrs_rows, plan, meta, background):
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret_mode(),
-    )(ct, cloc, cslot, cnv, clast, attrs_b)
+    )(wp, attrs_b)
     # background fold in XLA (was a clast-gated branch per grid step): rows
     # 0:3 += T_fin * bg with T_fin = 1 - alpha; never-visited tiles hold
     # garbage but are masked by the callers (counts == 0 / lc_t gating)
@@ -741,65 +784,102 @@ def _rasterize_sorted_bwd(meta, res, v_out):
     tw, th, chunk_cap, n_cams = meta
     tiles_per_cam = tw * th
     num_tiles = n_cams * tiles_per_cam
-    ct, cloc, cslot, cnv, clast, counts = plan
+    wp, cslot, cloc, counts = plan
     n_blocks = attrs_b.shape[0]
     cap_t = (n_blocks - 1) * K
 
-    # Dead-chunk compaction: the forward recorded each tile's composited-chunk
-    # count (post-termination chunks contribute exactly zero gradient). Stable
-    # sort live chunks to the front; the dead tail collapses onto the constant
-    # trash tile/block, so Mosaic's pipeline skips their block fetches and each
-    # dead grid step costs only the bare sequencing overhead (~0.4 us) instead
-    # of a full stream step. Live relative order is preserved, so per-tile
-    # carry chains (cloc 0..lc-1) replay unchanged.
-    lc_t = jnp.where(counts > 0, lc.astype(jnp.int32), 0)
-    tc = jnp.minimum(ct, num_tiles - 1)
-    live = (ct < num_tiles) & (cloc < lc_t[tc])
-    dead_key = jnp.logical_not(live).astype(jnp.int32)
-    _, ct, cloc, cslot_live, cnv, clast = jax.lax.sort(
-        (
-            dead_key,
-            jnp.where(live, ct, num_tiles),
-            cloc,
-            jnp.where(live, cslot, n_blocks - 1),
-            jnp.where(live, cnv, 0),
-            jnp.where(live, clast, 0),
-        ),
-        num_keys=1,
-        is_stable=True,
-    )
-    # grads blocks of dead chunks are never visited by the kernel: mask them
-    block_ran = (
-        jnp.zeros((n_blocks,), jnp.bool_)
-        .at[cslot_live]
-        .set(True, mode="drop")
-    )
-    block_ran = block_ran.at[n_blocks - 1].set(False)
-    cslot = cslot_live
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(chunk_cap,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
+    if cslot is not None:
+        # Dead-chunk compaction (chunk_cap <= COMPACT_MAX_CHUNKS): the
+        # forward recorded each tile's composited-chunk count
+        # (post-termination chunks contribute exactly zero gradient). Stable
+        # sort live chunks to the front; the dead tail collapses onto the
+        # constant trash tile/block, so Mosaic's pipeline skips their block
+        # fetches and each dead grid step costs only the bare sequencing
+        # overhead (~0.4 us) instead of a full stream step. Live relative
+        # order is preserved, so per-tile carry chains replay unchanged.
+        # The packed word rides the sort; only cslot needs a second operand.
+        ct = wp >> S_CT
+        lc_t = jnp.where(counts > 0, lc.astype(jnp.int32), 0)
+        tc = jnp.minimum(ct, num_tiles - 1)
+        live = (ct < num_tiles) & (cloc < lc_t[tc])
+        dead_key = jnp.logical_not(live).astype(jnp.int32)
+        trash_w = jnp.int32(num_tiles << S_CT)
+        _, wp, cslot_live = jax.lax.sort(
+            (
+                dead_key,
+                jnp.where(live, wp, trash_w),
+                jnp.where(live, cslot, n_blocks - 1),
             ),
-            pl.BlockSpec((1, 5, P), lambda i, ct, cl, cs, nv, la: (ct[i], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, ATTR_ROWS, K), lambda i, ct, cl, cs, nv, la: (cs[i], 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-        ],
-    )
+            num_keys=1,
+            is_stable=True,
+        )
+        # grads blocks of dead chunks are never visited by the kernel
+        block_ran = (
+            jnp.zeros((n_blocks,), jnp.bool_)
+            .at[cslot_live]
+            .set(True, mode="drop")
+        )
+        block_ran = block_ran.at[n_blocks - 1].set(False)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(chunk_cap,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, ATTR_ROWS, K), lambda i, w, cs: (cs[i], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 5, P), lambda i, w, cs: (w[i] >> S_CT, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ATTR_ROWS, K), lambda i, w, cs: (cs[i], 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, P), jnp.float32),
+                pltpu.VMEM((1, P), jnp.float32),
+                pltpu.VMEM((1, P), jnp.float32),
+            ],
+        )
 
-    def kern(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, v_ref, grads_ref,
-             t_ref, done_ref, e_ref):
-        _bwd_kernel(ct_r, cl_r, cs_r, nv_r, la_r, attrs_ref, v_ref,
-                    grads_ref, t_ref, done_ref, e_ref, tile_width=tw,
-                    num_tiles=num_tiles, tiles_per_cam=tiles_per_cam)
+        def kern(w_r, cs_r, attrs_ref, v_ref, grads_ref,
+                 t_ref, done_ref, e_ref):
+            _bwd_kernel(w_r, attrs_ref, v_ref,
+                        grads_ref, t_ref, done_ref, e_ref, tile_width=tw,
+                        num_tiles=num_tiles, tiles_per_cam=tiles_per_cam)
+
+        prefetch_args = (wp, cslot_live)
+    else:
+        # Large-cap mode (4K-class chunk counts): a second scalar-prefetch
+        # word per chunk would overflow the 1 MB SMEM, so skip compaction —
+        # blocks follow the grid index exactly as in the forward, and every
+        # grid step writes its grads block (zeros when skipped), so no
+        # visited-mask is needed beyond guarding the trash block.
+        block_ran = jnp.ones((n_blocks,), jnp.bool_).at[n_blocks - 1].set(
+            False
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(chunk_cap,),
+            in_specs=[
+                pl.BlockSpec((1, ATTR_ROWS, K), lambda i, w: (i, 0, 0)),
+                pl.BlockSpec((1, 5, P), lambda i, w: (w[i] >> S_CT, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ATTR_ROWS, K), lambda i, w: (i, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, P), jnp.float32),
+                pltpu.VMEM((1, P), jnp.float32),
+                pltpu.VMEM((1, P), jnp.float32),
+            ],
+        )
+
+        def kern(w_r, attrs_ref, v_ref, grads_ref, t_ref, done_ref, e_ref):
+            _bwd_kernel(w_r, attrs_ref, v_ref,
+                        grads_ref, t_ref, done_ref, e_ref, tile_width=tw,
+                        num_tiles=num_tiles, tiles_per_cam=tiles_per_cam)
+
+        prefetch_args = (wp,)
 
     # fold the <v, total> per-pixel contraction into a 5th cotangent row so
     # the kernel streams ONE (5, P) block per tile instead of two 4-row blocks
@@ -814,7 +894,7 @@ def _rasterize_sorted_bwd(meta, res, v_out):
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret_mode(),
-    )(ct, cloc, cslot, cnv, clast, attrs_b, vplus)
+    )(*prefetch_args, attrs_b, vplus)
     # zero the never-visited (dead/padding) grad blocks — their contents are
     # undefined; jnp.where (not multiply) so NaN garbage cannot leak through
     grads_b = jnp.where(block_ran[:, None, None], grads_b, 0.0)
@@ -987,9 +1067,10 @@ def rasterize_batch(
     # the batched layout; everything before this line ran once for the batch
     outs = []
     for b in range(B):
-        plan_b = tuple(a[b * pcc : (b + 1) * pcc] for a in plan_all) + (
-            aligned.counts[b * T : (b + 1) * T],
-        )
+        plan_b = tuple(
+            a[b * pcc : (b + 1) * pcc] if a is not None else None
+            for a in plan_all
+        ) + (aligned.counts[b * T : (b + 1) * T],)
         outs.append(
             _rasterize_sorted(
                 attrs_rows[b * cap_padded : (b + 1) * cap_padded],

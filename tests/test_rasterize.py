@@ -731,3 +731,41 @@ def test_rasterize_batch_parity():
             sc = float(jnp.max(jnp.abs(gs[j]))) + 1e-9
             d = float(jnp.max(jnp.abs(gb[j][b] - gs[j])))
             assert d / sc < 1e-4, (b, j, d, sc)
+
+
+class TestLargeCapPlan:
+    """The packed chunk plan's large-cap mode (chunk_cap > COMPACT_MAX_CHUNKS
+    -> no backward compaction, identity block mapping): fwd AND grads must
+    match the compacted small-cap path bitwise-or-close on the same scene.
+    Exercised by shrinking the threshold, not by allocating 96k chunks."""
+
+    def test_identity_mode_matches_compacted(self, monkeypatch):
+        from clm_gs_tpu.ops import rasterize as R
+
+        m2d, conics, colors, opac, depths, radii, w, h = _projected_scene(
+            n=120, width=80, height=64, seed=5, angle=1.7
+        )
+        target = jnp.zeros((3, h, w))
+
+        def loss(cap, m2d, conics, colors, opac, bg):
+            img, _, _ = rasterize(
+                m2d, conics, colors, opac, depths, radii, w, h, bg,
+                isect_cap=cap,
+            )
+            return jnp.sum((img - target) ** 2), img
+
+        args = (m2d, conics, colors, opac, BG)
+        # isect_cap 4096 and 4224 give different chunk_caps -> distinct jit
+        # cache entries, so the monkeypatched threshold takes effect
+        (l_c, img_c), g_c = jax.value_and_grad(
+            lambda *a: loss(4096, *a), argnums=(0, 1, 2, 3), has_aux=True
+        )(*args)
+        monkeypatch.setattr(R, "COMPACT_MAX_CHUNKS", 1)
+        (l_i, img_i), g_i = jax.value_and_grad(
+            lambda *a: loss(4224, *a), argnums=(0, 1, 2, 3), has_aux=True
+        )(*args)
+        np.testing.assert_allclose(np.asarray(img_i), np.asarray(img_c),
+                                   atol=1e-6)
+        for a, b in zip(g_i, g_c):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
