@@ -345,3 +345,29 @@ def test_crash_recovery_sigkill(dataset, tmp_path):
     log = open(os.path.join(out, "python.log")).read()
     assert "Resumed from" in log
     assert "end2end total_time:" in log
+
+
+def test_gt_cache_matches_streaming(dataset, tmp_path):
+    """The device-resident uint8 GT cache must reproduce the streaming
+    (per-batch float32 upload) path exactly: same epoch order (indices come
+    from the same sampler), same u8/255 values, so the loss trajectory and
+    eval PSNR are bitwise identical."""
+    import re
+
+    # the conftest's 8-device CPU mesh would route both runs down the
+    # sharded (streaming-only) path; disable sharding so the cache engages
+    a = _run(dataset, str(tmp_path / "cache"), "no_offload", iters=12,
+             extra=("--no-shard_gaussians",))
+    b = _run(dataset, str(tmp_path / "stream"), "no_offload", iters=12,
+             extra=("--no-shard_gaussians", "--gt_device_cache_mb", "0"))
+    outs = []
+    for d in (a, b):
+        log = open(os.path.join(d, "python.log")).read()
+        assert ("GT device cache" in log) == (d == a)
+        outs.append(
+            (
+                re.findall(r"loss: ([\d.]+)", log),
+                re.findall(r"PSNR ([\d.]+)", log),
+            )
+        )
+    assert outs[0] == outs[1] and outs[0][0], outs
