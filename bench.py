@@ -240,6 +240,20 @@ def main():
         run_child(sys.argv[2])
         return
 
+    # `--res 4k`: one no_offload child at 3840x2160 with a 4K-scaled isect
+    # seed (Rubble-4K regime, tools/bench4k.py carries the tile-packing
+    # asserts + record file). The default invocation is unchanged.
+    res4k = False
+    if "--res" in sys.argv:
+        res = sys.argv[sys.argv.index("--res") + 1].lower()
+        assert res in ("4k",), res
+        res4k = True
+        # setdefault so CPU smoke tests can shrink the canvas while still
+        # exercising the 4K code path (single strategy, isect seed)
+        os.environ.setdefault("CLMGS_BENCH_W", "3840")
+        os.environ.setdefault("CLMGS_BENCH_H", "2160")
+        os.environ.setdefault("CLMGS_BENCH_ISECT", str(24 * 2**20))
+
     # fast-fail when the sandbox's axon relay is down (jax init would
     # otherwise hang until each child's timeout: 3 strategies x 25 min).
     # Gated on the axon plugin actually being selected — a real TPU VM has
@@ -262,7 +276,13 @@ def main():
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     results = {}
     # headline strategy first so its result survives later failures/timeouts
-    for strategy in ("no_offload", "naive_offload", "clm_offload"):
+    # (4K mode: compute-path only — offload transfers through this sandbox's
+    # tunnel at 4K would time out without measuring anything new)
+    strategies = (
+        ("no_offload",) if res4k
+        else ("no_offload", "naive_offload", "clm_offload")
+    )
+    for strategy in strategies:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", strategy],
