@@ -511,6 +511,9 @@ def _chunk_plan_batch(counts, starts, B: int, T: int, pcc: int,
     costs actually are, stays batched.)
 
     counts/starts: (B*T,) flat with b*cap_padded baked into starts."""
+    # tile ids packed into the plan word are camera-LOCAL today; a future
+    # global-tile caller (b*T + t) must re-check against the packed width
+    assert T < (1 << (31 - S_CT)), (T, S_CT)
     nch = (-(-counts // K)).reshape(B, T)
     ccum = jnp.cumsum(nch, axis=1)
     ctotal = ccum[:, -1]

@@ -24,9 +24,15 @@ Both directions are covered:
     (C, 48) buffer by a jitted `t.at[i].add(g)` program with the table
     donated, so the compiler emits the chip->pinned-host DMA and the
     accumulate runs where the buffer lives — no device staging array, no
-    numpy scatter on the drain path. The host Adam then consumes
-    `to_numpy()` (zero-copy when the backend maps pinned host into the
-    process; one host<->host copy otherwise).
+    numpy scatter on the drain path. Status: implemented and unit-tested
+    (tests/test_hostmem.py), NOT yet integrated into clm_offload's drain,
+    which always uses `native.scatter_add_rows` — integration requires the
+    eager host Adam to consume (and version-3-zero) rows of the jax-owned
+    host-space buffer mid-batch, i.e. external mutation of a donated array;
+    safe only on a backend where `to_numpy()` is a zero-copy view of the
+    pinned pages (the reference mutates raw pinned memory the same way,
+    cpu_adam's batched_sparse_step). Until such a backend is available to
+    validate that aliasing contract, the drain stays on the numpy path.
 
 This sandbox's backend rejects host-space programs entirely (probe() is
 False), so both directions stay inert here and the numpy scatter fallback
