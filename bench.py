@@ -207,7 +207,7 @@ def run_child(strategy: str):
             cfg, timers=tmr,
         )
         drain(out.losses, state.params.xyz)
-        device_s = tmr.sums.get("clm.filters", 0.0) + tmr.sums.get(
+        device_s_instr = tmr.sums.get("clm.filters", 0.0) + tmr.sums.get(
             "clm.micro", 0.0
         )
         bytes_b = ctx.h2d_bytes + ctx.d2h_bytes
@@ -215,22 +215,68 @@ def run_child(strategy: str):
         transfer_s = bytes_b / (link_gbps * 1e9)
         scatter_s = ctx.scatter_work_s - sw0
         adam_s = ctx.adam_work_s - aw0
-        proj_batch = max(device_s, transfer_s + scatter_s, adam_s)
+
+        # Decomposition of the clm device-side cost (VERDICT r4 #1): replay
+        # the batch's exact device sequence (fused micro-steps + retention
+        # advances) with every input pre-staged — no host work, no H2D
+        # fetches, no grad drains, one final sync. What remains is real
+        # device work + per-dispatch floors; the instrumented in-situ number
+        # additionally contains per-span tunnel syncs and streaming waits.
+        run_dev, n_disp = clm_offload.prepare_device_loop(
+            state, ctx, cb, gts, 3, bg, W, H, isect_cap, cfg
+        )
+        loss, _ = run_dev()  # warmup: compiles any remaining bucket shapes
+        drain(loss)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            loss, _ = run_dev()
+        drain(loss)
+        device_s_resident = (time.perf_counter() - t0) / reps
+        # per-dispatch floor: tiny jitted op, async back-to-back
+        import jax.numpy as jnp_
+
+        tiny = jax.jit(lambda x: x + 1.0)
+        xtiny = tiny(jnp_.zeros((8, 128), jnp_.float32))
+        drain(xtiny)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            xtiny = tiny(xtiny)
+        drain(xtiny)
+        floor_ms = (time.perf_counter() - t0) / 50 * 1e3
+
+        proj_batch = max(device_s_resident, transfer_s + scatter_s, adam_s)
         rec["clm_projected_mpix_s"] = round(
             BSZ * W * H / proj_batch / 1e6, 3
         )
         rec["clm_projection"] = {
             "formula": (
-                "max(device_s, bytes/link_bw + scatter_s, adam_s); "
-                "device_s from an instrumented batch (per-micro drain, "
-                "conservative: includes tunnel sync floors)"
+                "max(device_s_resident, bytes/link_bw + scatter_s, adam_s); "
+                "device_s_resident = pre-staged device-only replay of the "
+                "batch (fused steps + advances), single final sync"
             ),
             "link_gbps_assumed": link_gbps,
             "bytes_per_batch_mb": round(bytes_b / 2**20, 1),
-            "device_s": round(device_s, 3),
+            "device_s": round(device_s_resident, 3),
             "transfer_s_at_link": round(transfer_s, 3),
             "host_scatter_s": round(scatter_s, 3),
             "host_adam_s": round(adam_s, 3),
+        }
+        rec["clm_device_decomposition"] = {
+            "device_s_resident": round(device_s_resident, 3),
+            "device_s_instrumented": round(device_s_instr, 3),
+            "sync_and_stream_overhead_s": round(
+                max(0.0, device_s_instr - device_s_resident), 3
+            ),
+            "n_dispatches_per_batch": n_disp,
+            "dispatch_floor_ms": round(floor_ms, 2),
+            "dispatch_floor_total_s": round(n_disp * floor_ms / 1e3, 3),
+            "note": (
+                "device_s_resident is the honest device-side cost of a clm "
+                "batch (compare against no_offload sec_per_batch); "
+                "device_s_instrumented additionally pays a tunnel "
+                "sync per timed span plus in-loop streaming waits"
+            ),
         }
     print("BENCH_CHILD " + json.dumps(rec), flush=True)
 

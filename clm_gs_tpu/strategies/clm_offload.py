@@ -39,6 +39,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field, replace
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -244,6 +245,32 @@ def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
     return sh_next, grad_carry, g_rows
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _advance_ws_packed(sh_prev, grad_prev, h_rows, idxv):
+    """_advance_working_set with (a) sh/grad buffers donated (the previous
+    camera's working set is dead after the advance) and (b) the four index
+    arrays packed into ONE int32 vector [pd | pn | hn | gp] so the host pays
+    a single device_put per transition instead of four (each put is a
+    dispatch through the transport). Split points are static: pd/pn are
+    v_cap each, hn is h_rows.shape[0], gp is the remainder."""
+    v = sh_prev.shape[0]
+    h_cap = h_rows.shape[0]
+    pd = idxv[:v]
+    pn = idxv[v : 2 * v]
+    hn = idxv[2 * v : 2 * v + h_cap]
+    gp = idxv[2 * v + h_cap :]
+    pdc = jnp.minimum(pd, v - 1)
+    gpc = jnp.minimum(gp, v - 1)
+    sh_next = (
+        jnp.zeros_like(sh_prev)
+        .at[pn].set(sh_prev[pdc], mode="drop")
+        .at[hn].set(h_rows, mode="drop")
+    )
+    grad_carry = jnp.zeros_like(grad_prev).at[pn].set(grad_prev[pdc], mode="drop")
+    g_rows = grad_prev[gpc]
+    return sh_next, grad_carry, g_rows
+
+
 @jax.jit
 def _advance_working_set_batch(sh_d, grad_d, h_d, pd_d, pn_d, hn_d, gp_d):
     """D chains' working-set advances in one dispatch (leading axis = the
@@ -406,15 +433,7 @@ def train_one_batch(
     # after camera i+1's micro-step has been dispatched — so the device
     # renders camera i+1 while the host scatters camera i's grads and the
     # worker thread runs Adam on the rows that just finished.
-    gpu_grads = {
-        n: jnp.zeros_like(getattr(p, n))
-        for n in ("xyz", "opacity", "log_scale", "quat")
-    }
-    accum = jnp.zeros(C, jnp.float32)
-    denom = jnp.zeros(C, jnp.float32)
-    vis_any = jnp.zeros(C, bool)
     losses = []
-    max_isects = jnp.zeros((), jnp.int32)
     futures = []
     pending = None  # (g_rows device array, target ids, finish rows)
 
@@ -423,6 +442,14 @@ def train_one_batch(
     drain_fn = _drain_pending if n_chains == 1 else _drain_pending_multi
 
     if n_chains > 1:
+        gpu_grads = {
+            n: jnp.zeros_like(getattr(p, n))
+            for n in ("xyz", "opacity", "log_scale", "quat")
+        }
+        accum = jnp.zeros(C, jnp.float32)
+        denom = jnp.zeros(C, jnp.float32)
+        vis_any = jnp.zeros(C, bool)
+        max_isects = jnp.zeros((), jnp.int32)
         D = n_chains
         S = B // D
         seg = [order[d * S : (d + 1) * S] for d in range(D)]
@@ -550,6 +577,10 @@ def train_one_batch(
 
     grad_buf = None  # (v_cap, 48) accumulated SH grads in current-camera layout
     shc = None
+    acc = None
+    if n_chains == 1:
+        # resident per-batch camera arrays for the fused step (one dispatch)
+        campos_all = cams.camtoworlds[:, :3, 3]
     for pos, cam_i in enumerate(order if n_chains == 1 else []):
         cam_i = int(cam_i)
         n_vis = int(counts_np[cam_i])
@@ -573,28 +604,23 @@ def train_one_batch(
                 grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
             tm.stop("clm.fetch_h2d", sync=shc)
 
+        # fused micro-step: fwd+bwd AND every per-camera accumulator update
+        # (4 gpu grads, densify stats, vis union, isect max, grad_buf) in ONE
+        # dispatch — the caller-side adds this replaces each cost a separate
+        # launch through the transport (~8 extra launches/camera)
         tm.start("clm.micro")
-        out = oc.micro_step_visible(
-            p.xyz, p.opacity, p.log_scale, p.quat, shc, F.idx[cam_i],
-            cams.viewmats[cam_i], cams.Ks[cam_i], cams.camtoworlds[cam_i][:3, 3],
-            gt[cam_i], sh_degree, background, width, height, isect_cap, ctx.v_cap,
+        if acc is None:
+            acc = oc.make_clm_acc(p)
+        loss, grad_buf, acc = oc.clm_fused_step(
+            p.xyz, p.opacity, p.log_scale, p.quat, shc, grad_buf,
+            F.idx, cams.viewmats, cams.Ks, campos_all, gt,
+            jnp.int32(cam_i), acc, sh_degree, background,
+            width, height, isect_cap, ctx.v_cap,
             lambda_dssim=cfg.opt.lambda_dssim,
             loss_scale=cfg.opt.lr_scale_loss,
         )
-        for n in gpu_grads:
-            gpu_grads[n] = gpu_grads[n] + out.gpu_grads[n]
-        accum, denom = oc.scatter_stats(
-            accum, denom, F.idx[cam_i], out.probe_grad, out.radii_compact,
-            width, height,
-        )
-        vis_any = vis_any.at[jnp.minimum(F.idx[cam_i], C - 1)].max(
-            F.idx[cam_i] < C
-        )
-        losses.append(out.loss)
-        max_isects = jnp.maximum(max_isects, out.n_isects)
-
-        grad_buf = grad_buf + out.sh_grad_compact
-        tm.stop("clm.micro", sync=out.loss)
+        losses.append(loss)
+        tm.stop("clm.micro", sync=loss)
 
         rows = finish_sets[pos]
         if pos == 0 and not sparse_adam and len(never_visible):
@@ -605,7 +631,8 @@ def train_one_batch(
             # device, fetch only H rows, offload only G rows' grads
             # (send_shs2gpu_stream_retention / send_shs2cpu_..._retention,
             # engine.py:623-636, 789-803). All transfers bucketed to the
-            # actual delta size.
+            # actual delta size; the four index arrays ship as ONE packed
+            # device_put (see _advance_ws_packed).
             tm.start("clm.advance")
             next_i = int(order[pos + 1])
             next_ids = idx_np[next_i][: int(counts_np[next_i])]
@@ -626,10 +653,9 @@ def train_one_batch(
                     )
                 h_dev = jax.device_put(h_rows)
             ctx.h2d_bytes += len(hn) * SH_COLS * 4
-            shc, grad_buf, g_rows = _advance_working_set(
-                shc, grad_buf, h_dev,
-                jax.device_put(pd), jax.device_put(pn),
-                jax.device_put(hn), jax.device_put(gp),
+            idxv = jax.device_put(np.concatenate([pd, pn, hn, gp]))
+            shc, grad_buf, g_rows = _advance_ws_packed(
+                shc, grad_buf, h_dev, idxv
             )
             new_pending = (g_rows, valid_ids[gp_raw], rows)
             tm.stop("clm.advance")
@@ -656,6 +682,15 @@ def train_one_batch(
             _drain_pending(ctx, pending, futures, grad_scale, step, stop_update)
             tm.stop("clm.d2h_scatter")
         pending = new_pending
+
+    if acc is not None:
+        # unpack the fused accumulators (single-chain path)
+        gpu_grads = {
+            "xyz": acc.g_xyz, "opacity": acc.g_opacity,
+            "log_scale": acc.g_log_scale, "quat": acc.g_quat,
+        }
+        accum, denom, vis_any = acc.accum, acc.denom, acc.vis_any
+        max_isects = acc.max_isects
 
     # 5. device Adam for the 4 HBM groups
     grads = GaussianParams(
@@ -712,6 +747,86 @@ def train_one_batch(
         max_radii2d=state.max_radii2d,
     )
     return new_state, new_opt, ctx, StepOut(jnp.stack(losses), max_isects, vis_any)
+
+
+def prepare_device_loop(
+    state, ctx: ClmContext, cams, gt, sh_degree, background,
+    width, height, isect_cap, cfg,
+):
+    """Bench decomposition harness (VERDICT r4 #1): pre-stage EVERYTHING a clm
+    batch needs on device (working sets, retention index vectors, H rows), and
+    return (run, n_dispatches) where run() executes the per-camera device
+    sequence — fused micro-step + working-set advance — with zero host work,
+    zero H2D fetches and zero grad drains in the loop. Timing run() with a
+    single final drain measures the REAL device-side cost of a clm batch,
+    cleanly separated from tunnel-sync floors and host streaming that the
+    instrumented in-situ batch necessarily includes."""
+    p = state.params
+    C = state.capacity
+    gt = jnp.asarray(gt)
+    F = oc.calculate_filters(
+        p.xyz, p.quat, p.log_scale, state.alive, cams.viewmats, cams.Ks,
+        width, height, cfg.model.radius_clip, ctx.v_cap,
+    )
+    counts_np = np.asarray(F.counts)
+    idx_np = np.asarray(F.idx)
+    dist = np.asarray(oc.hamming_distance_matrix(F.sample))
+    alive_np = np.asarray(state.alive)
+    order, _, _ = _order_and_finish_sets(
+        idx_np, counts_np, dist, alive_np,
+        cfg.aux.reorder_by_min_sparsity_at_end,
+    )
+    B = len(order)
+    campos_all = cams.camtoworlds[:, :3, 3]
+
+    first = int(order[0])
+    gather_idx = np.where(idx_np[first] < C, idx_np[first], 0).astype(np.int32)
+    shc0 = jax.device_put(native.gather_rows(ctx.sh_host, gather_idx))
+    cam_dev = [jnp.int32(int(c)) for c in order]
+    trans = []
+    for pos in range(B - 1):
+        prev_ids = idx_np[int(order[pos])][: int(counts_np[int(order[pos])])]
+        nxt_i = int(order[pos + 1])
+        next_ids = idx_np[nxt_i][: int(counts_np[nxt_i])]
+        pd, pn, hn, gp, gp_raw, hn_raw = _classify_transition(
+            prev_ids, next_ids, ctx.v_cap
+        )
+        h_rows = np.zeros((len(hn), SH_COLS), np.float32)
+        if len(hn_raw):
+            h_rows[: len(hn_raw)] = native.gather_rows(
+                ctx.sh_host, next_ids[hn_raw].astype(np.int32)
+            )
+        trans.append(
+            (
+                jax.device_put(h_rows),
+                jax.device_put(np.concatenate([pd, pn, hn, gp])),
+            )
+        )
+
+    def run():
+        # fresh copies for the donated buffers; shc0/trans stay reusable
+        shc = shc0 + 0.0
+        grad_buf = jnp.zeros((ctx.v_cap, SH_COLS), jnp.float32)
+        acc = oc.make_clm_acc(p)
+        loss = None
+        for pos in range(B):
+            loss, grad_buf, acc = oc.clm_fused_step(
+                p.xyz, p.opacity, p.log_scale, p.quat, shc, grad_buf,
+                F.idx, cams.viewmats, cams.Ks, campos_all, gt,
+                cam_dev[pos], acc, sh_degree, background,
+                width, height, isect_cap, ctx.v_cap,
+                lambda_dssim=cfg.opt.lambda_dssim,
+                loss_scale=cfg.opt.lr_scale_loss,
+            )
+            if pos + 1 < B:
+                h_dev, idxv = trans[pos]
+                shc, grad_buf, _ = _advance_ws_packed(
+                    shc, grad_buf, h_dev, idxv
+                )
+        return loss, acc
+
+    # per run(): B fused steps + (B-1) advances + 1 shc copy + 2 allocs
+    return run, 2 * B + 2
 
 
 def post_densify(ctx: ClmContext, state: GaussianState, info):

@@ -135,6 +135,88 @@ def micro_step_visible(
     )
 
 
+class ClmAcc(NamedTuple):
+    """Per-batch accumulators carried through the clm camera loop as ONE
+    donated pytree, so the whole per-camera accumulation (4 attribute grads,
+    densify stats, visibility union, isect max) fuses into the micro-step
+    dispatch instead of ~8 separate XLA launches per camera (each launch
+    pays the tunnel/dispatch floor; the reference's per-camera accumulation
+    is free inside its CUDA stream, clm_offload/engine.py:722-743)."""
+
+    g_xyz: jnp.ndarray  # (C, 3)
+    g_opacity: jnp.ndarray  # (C,)
+    g_log_scale: jnp.ndarray  # (C, 3)
+    g_quat: jnp.ndarray  # (C, 4)
+    accum: jnp.ndarray  # (C,) densify stat numerator
+    denom: jnp.ndarray  # (C,) densify stat denominator
+    vis_any: jnp.ndarray  # (C,) bool
+    max_isects: jnp.ndarray  # ()
+
+
+def make_clm_acc(params) -> ClmAcc:
+    C = params.xyz.shape[0]
+    return ClmAcc(
+        g_xyz=jnp.zeros_like(params.xyz),
+        g_opacity=jnp.zeros_like(params.opacity),
+        g_log_scale=jnp.zeros_like(params.log_scale),
+        g_quat=jnp.zeros_like(params.quat),
+        accum=jnp.zeros(C, jnp.float32),
+        denom=jnp.zeros(C, jnp.float32),
+        vis_any=jnp.zeros(C, bool),
+        max_isects=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "isect_cap", "v_cap", "lambda_dssim", "loss_scale",
+    ),
+    donate_argnums=(5, 12),
+)
+def clm_fused_step(
+    xyz, opacity, log_scale, quat,
+    shc,  # (v_cap, 48) current working set
+    grad_buf,  # (v_cap, 48) accumulated SH grads, donated
+    idx_all,  # (B, v_cap) all cameras' visible-index lists (resident)
+    viewmats, Ks, campos_all, gts,  # (B, ...) resident batch arrays
+    cam,  # () int32 — which camera (host passes the TSP-ordered id)
+    acc: ClmAcc,  # donated
+    sh_degree, background,
+    width: int, height: int, isect_cap: int, v_cap: int,
+    lambda_dssim: float = 0.2,
+    loss_scale: float = 1.0,
+):
+    """One clm camera: micro-step + ALL per-camera accumulation in a single
+    dispatch. Equivalent to micro_step_visible followed by the caller-side
+    gpu-grad adds, scatter_stats, vis_any union, max_isects fold and the
+    grad_buf accumulation — fused so each camera costs one XLA launch and the
+    accumulators update in place (donated)."""
+    idx = idx_all[cam]
+    out = micro_step_visible(
+        xyz, opacity, log_scale, quat, shc, idx,
+        viewmats[cam], Ks[cam], campos_all[cam], gts[cam],
+        sh_degree, background, width, height, isect_cap, v_cap,
+        lambda_dssim=lambda_dssim, loss_scale=loss_scale,
+    )
+    C = xyz.shape[0]
+    g = out.probe_grad * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
+    norm = jnp.linalg.norm(g, axis=-1)
+    vis = out.radii_compact > 0
+    dst = jnp.where(vis, idx, C)
+    new_acc = ClmAcc(
+        g_xyz=acc.g_xyz + out.gpu_grads["xyz"],
+        g_opacity=acc.g_opacity + out.gpu_grads["opacity"],
+        g_log_scale=acc.g_log_scale + out.gpu_grads["log_scale"],
+        g_quat=acc.g_quat + out.gpu_grads["quat"],
+        accum=acc.accum.at[dst].add(norm, mode="drop"),
+        denom=acc.denom.at[dst].add(1.0, mode="drop"),
+        vis_any=acc.vis_any.at[jnp.minimum(idx, C - 1)].max(idx < C),
+        max_isects=jnp.maximum(acc.max_isects, out.n_isects),
+    )
+    return out.loss, grad_buf + out.sh_grad_compact, new_acc
+
+
 class MicroBatchOut(NamedTuple):
     losses: jnp.ndarray  # (D,)
     gpu_grads: dict  # full (C, ...) grads SUMMED over the D cameras
