@@ -118,11 +118,18 @@ def create_from_pcd(
     capacity: Optional[int] = None,
     downsample_ratio: float = 1.0,
     seed: int = 0,
-) -> GaussianState:
+    host_sh: bool = False,
+):
     """Initialize from a point cloud (positions + RGB in [0,1]).
 
     Mirrors create_from_pcd (clm_offload/gaussian_model.py:46-92), including
     the optional random downsample (--initial_point_cloud_downsampled_ratio).
+
+    host_sh=True (clm placement): the (capacity, 48) SH block NEVER touches
+    the device — the state carries the (1, 48) placeholder and the call
+    returns (state, sh_host numpy). The reference's clm model likewise loads
+    SH straight into the pinned host buffer (clm_offload/gaussian_model.py:
+    34-44); materializing it on device first OOMs HBM at BigCity scale.
     """
     points = np.asarray(points, np.float32)
     colors = np.asarray(colors, np.float32)
@@ -149,13 +156,19 @@ def create_from_pcd(
     quat[:, 0] = 1.0
     opacity = np.full((n,), float(inverse_sigmoid(0.1)), np.float32)
 
+    if host_sh:
+        sh_np = np.zeros((capacity, 48), np.float32)
+        sh_np[:n] = sh
+        sh_leaf = jnp.zeros((1, 48), jnp.float32)
+    else:
+        sh_leaf = pad(sh)
     params = GaussianParams(
         xyz=pad(points), opacity=pad(opacity), log_scale=pad(log_scale),
-        quat=pad(quat), sh=pad(sh),
+        quat=pad(quat), sh=sh_leaf,
     )
     alive = np.zeros(capacity, bool)
     alive[:n] = True
-    return GaussianState(
+    state = GaussianState(
         params=params,
         alive=jnp.asarray(alive),
         n_alive=jnp.asarray(n, jnp.int32),
@@ -163,6 +176,7 @@ def create_from_pcd(
         denom=jnp.zeros(capacity, jnp.float32),
         max_radii2d=jnp.zeros(capacity, jnp.float32),
     )
+    return (state, sh_np) if host_sh else state
 
 
 def grow_capacity(state: GaussianState, new_capacity: int) -> GaussianState:
@@ -257,7 +271,9 @@ def save_ply(state: GaussianState, path: str, chunk_rows: Optional[int] = None):
             )
 
 
-def load_ply(path: str, capacity: Optional[int] = None) -> GaussianState:
+def load_ply(path: str, capacity: Optional[int] = None, host_sh: bool = False):
+    """host_sh=True: SH stays a host numpy buffer, the device gets the (1,48)
+    placeholder; returns (state, sh_host) — see create_from_pcd."""
     with open(path, "rb") as f:
         data = f.read()
     end = data.index(b"end_header\n") + len(b"end_header\n")
@@ -285,13 +301,19 @@ def load_ply(path: str, capacity: Optional[int] = None) -> GaussianState:
         out[:n] = x
         return jnp.asarray(out)
 
-    sh = np.concatenate([dc, rest], axis=1)
+    if host_sh:
+        sh_np = np.zeros((capacity, 48), np.float32)
+        sh_np[:n, 0:3] = dc
+        sh_np[:n, 3:] = rest
+        sh_leaf = jnp.zeros((1, 48), jnp.float32)
+    else:
+        sh_leaf = pad(np.concatenate([dc, rest], axis=1))
     alive = np.zeros(capacity, bool)
     alive[:n] = True
-    return GaussianState(
+    state = GaussianState(
         params=GaussianParams(
             xyz=pad(xyz), opacity=pad(opacity), log_scale=pad(log_scale),
-            quat=pad(quat), sh=pad(sh),
+            quat=pad(quat), sh=sh_leaf,
         ),
         alive=jnp.asarray(alive),
         n_alive=jnp.asarray(n, jnp.int32),
@@ -299,6 +321,7 @@ def load_ply(path: str, capacity: Optional[int] = None) -> GaussianState:
         denom=jnp.zeros(capacity, jnp.float32),
         max_radii2d=jnp.zeros(capacity, jnp.float32),
     )
+    return (state, sh_np) if host_sh else state
 
 
 def resize_rows(state: GaussianState, coeff: float) -> GaussianState:
@@ -349,7 +372,9 @@ def save_tensors(state: GaussianState, path: str):
     )
 
 
-def load_tensors(path: str, capacity: Optional[int] = None) -> GaussianState:
+def load_tensors(path: str, capacity: Optional[int] = None, host_sh: bool = False):
+    """host_sh=True: returns (state, sh_host) with SH never on device — see
+    create_from_pcd."""
     z = np.load(path)
     n = len(z["xyz"])
     if capacity is None:
@@ -360,13 +385,19 @@ def load_tensors(path: str, capacity: Optional[int] = None) -> GaussianState:
         out[:n] = x
         return jnp.asarray(out)
 
+    if host_sh:
+        sh_np = np.zeros((capacity, 48), np.float32)
+        sh_np[:n] = z["parameters"]
+        sh_leaf = jnp.zeros((1, 48), jnp.float32)
+    else:
+        sh_leaf = pad(z["parameters"])
     alive = np.zeros(capacity, bool)
     alive[:n] = True
-    return GaussianState(
+    state = GaussianState(
         params=GaussianParams(
             xyz=pad(z["xyz"]), opacity=pad(z["opacity"].reshape(n)),
             log_scale=pad(z["scaling"]), quat=pad(z["rotation"]),
-            sh=pad(z["parameters"]),
+            sh=sh_leaf,
         ),
         alive=jnp.asarray(alive),
         n_alive=jnp.asarray(n, jnp.int32),
@@ -374,3 +405,4 @@ def load_tensors(path: str, capacity: Optional[int] = None) -> GaussianState:
         denom=jnp.zeros(capacity, jnp.float32),
         max_radii2d=jnp.zeros(capacity, jnp.float32),
     )
+    return (state, sh_np) if host_sh else state

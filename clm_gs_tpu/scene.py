@@ -86,11 +86,28 @@ class Scene:
         )
         log(f"Image size: {self.width}x{self.height}\n")
 
-        # Gaussian init
+        # Gaussian init. clm placement: SH loads straight into a host buffer
+        # (self.host_sh, consumed by clm_offload.make_context_from_host) and
+        # never lands on device — a (C, 48) device materialization OOMs HBM at
+        # BigCity scale (the reference's clm model likewise loads into its
+        # pinned buffer, clm_offload/gaussian_model.py:34-44, 236-290).
+        host_sh = bool(getattr(cfg.aux, "clm_offload", False))
+        self.host_sh = None
+
+        def _unpack(r):
+            if host_sh:
+                self.host_sh = r[1]
+                return r[0]
+            return r
+
         if cfg.aux.load_pt_path:
-            self.gaussians = G.load_tensors(cfg.aux.load_pt_path)
+            self.gaussians = _unpack(
+                G.load_tensors(cfg.aux.load_pt_path, host_sh=host_sh)
+            )
         elif cfg.aux.load_ply_path and cfg.aux.load_ply_path.endswith(".ply") and _is_model_ply(cfg.aux.load_ply_path):
-            self.gaussians = G.load_ply(cfg.aux.load_ply_path)
+            self.gaussians = _unpack(
+                G.load_ply(cfg.aux.load_ply_path, host_sh=host_sh)
+            )
         else:
             pcd = info.point_cloud
             assert pcd is not None, "no initial point cloud found"
@@ -102,10 +119,13 @@ class Scene:
             ratio = cfg.aux.initial_point_cloud_downsampled_ratio
             if getattr(cfg.debug, "drop_initial_3dgs_p", 0.0) > 0:
                 ratio = min(ratio, 1.0 - cfg.debug.drop_initial_3dgs_p)
-            self.gaussians = G.create_from_pcd(
-                pcd.points, pcd.colors, capacity=cap,
-                downsample_ratio=ratio,
-                seed=cfg.debug.seed,
+            self.gaussians = _unpack(
+                G.create_from_pcd(
+                    pcd.points, pcd.colors, capacity=cap,
+                    downsample_ratio=ratio,
+                    seed=cfg.debug.seed,
+                    host_sh=host_sh,
+                )
             )
         log(f"Initialized {int(self.gaussians.n_alive)} gaussians "
             f"(capacity {self.gaussians.capacity})\n")

@@ -137,6 +137,32 @@ def make_context(cfg, state: GaussianState, adam_cfg: AdamConfig) -> ClmContext:
     )
 
 
+def make_context_from_host(cfg, sh_host: np.ndarray, adam_cfg: AdamConfig) -> ClmContext:
+    """Context from a host-resident SH buffer (Scene loaded with host_sh=True:
+    the (C, 48) block never touched the device — required at BigCity scale
+    where materializing SH in HBM OOMs; the reference loads PLY/.pt straight
+    into its pinned buffer, clm_offload/gaussian_model.py:236-290)."""
+    sh_host = np.ascontiguousarray(sh_host, np.float32)
+    C = len(sh_host)
+    return ClmContext(
+        sh_host=sh_host,
+        sh_grad_host=np.zeros((C, SH_COLS), np.float32),
+        adam=native.HostAdam(
+            C, SH_COLS, np.zeros(SH_COLS, np.float32),
+            betas=adam_cfg.betas, eps=adam_cfg.eps,
+        ),
+        v_cap=max(round_up(min(C, 1 << 16), 1 << 12), 4096),
+        pinned=_maybe_pinned(cfg, sh_host),
+    )
+
+
+def materialize_host(state: GaussianState, ctx: ClmContext) -> GaussianState:
+    """State whose SH leaf is the host numpy buffer itself (no device copy):
+    for PLY/tensor export paths, which only np.asarray the leaves. Use
+    `materialize` when a device-resident SH is genuinely needed."""
+    return replace(state, params=replace(state.params, sh=ctx.sh_host))
+
+
 def strip_device_sh(state: GaussianState) -> GaussianState:
     """Replace the device SH buffer with a (1, 48) placeholder — HBM holds
     only the 11 selection-critical floats per Gaussian (the paper's core

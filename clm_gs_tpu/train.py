@@ -247,8 +247,19 @@ def training(cfg: Config):
         # params live on host; device copy exists only within a batch/eval
         state = strategy.strip_device_params(state)
     elif strategy_name == "clm_offload":
-        resumed_stripped = state.params.sh.shape[0] != state.capacity
-        if resumed_stripped:
+        fresh_host = (not ckpt) and getattr(scene, "host_sh", None) is not None
+        resumed_stripped = (
+            not fresh_host and state.params.sh.shape[0] != state.capacity
+        )
+        if fresh_host:
+            # Scene loaded with host_sh=True: SH never touched the device
+            # (required at BigCity scale; see make_context_from_host)
+            strategy_ctx = strategy.make_context_from_host(
+                cfg, scene.host_sh, adam_cfg
+            )
+            scene.host_sh = None  # ownership moves to the context
+            opt_state = init_adam(state.params)  # 4 HBM groups + placeholder
+        elif resumed_stripped:
             # checkpointed mid-run: device state has the (1,48) placeholder and
             # opt_state already carries the restored 4-group moments; SH and its
             # host moments come from strategy_extra.npz.
@@ -549,9 +560,14 @@ def training(cfg: Config):
         ]
         if save_hits and not cfg.debug.do_not_save:
             e2e.pause(sync=out.losses)
+            # clm: the host SH buffer rides into the state as a numpy leaf —
+            # the export paths only np.asarray leaves, so the (C, 48) block
+            # never costs device memory (OOM at BigCity scale otherwise)
             scene.gaussians = (
-                strategy.materialize(state, strategy_ctx)
-                if strategy_name in ("clm_offload", "naive_offload") else state
+                strategy.materialize_host(state, strategy_ctx)
+                if strategy_name == "clm_offload"
+                else strategy.materialize(state, strategy_ctx)
+                if strategy_name == "naive_offload" else state
             )
             scene.save(save_hits[-1], logger)
             logger.write(f"[ITER {iteration}] Saving Gaussians\n")
