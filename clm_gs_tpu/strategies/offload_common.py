@@ -69,6 +69,7 @@ class MicroOut(NamedTuple):
     probe_grad: jnp.ndarray  # (v_cap, 2) screen-space grads at visible rows
     radii_compact: jnp.ndarray  # (v_cap,)
     n_isects: jnp.ndarray
+    inv: jnp.ndarray = None  # (C,) full row -> compact position (v_cap = miss)
 
 
 @partial(
@@ -89,22 +90,32 @@ def micro_step_visible(
     """One camera's fwd+bwd over its compact visible set. SH colors are
     evaluated from the compact working set; the reference's equivalent is
     pipeline_forward_one_step over filtered params (base_engine.py:106-207,
-    SH-inplace variant clm_offload/engine.py:30-127)."""
+    SH-inplace variant clm_offload/engine.py:30-127).
+
+    Attribute grads are computed wrt the COMPACT (gathered) rows and expanded
+    to full (C, ...) space via one inverse-map gather: differentiating through
+    the gather itself would emit 11 channel-scatters of v_cap updates per
+    camera, which XLA:TPU lowers near-serially (~20 ms/channel chip-measured,
+    dominating the micro-step); the inverse map costs one single-channel
+    scatter + row gathers instead. Values are IDENTICAL (idx rows are unique,
+    so the scatter-add would sum exactly one contribution per row)."""
     C = xyz.shape[0]
     valid = idx < C
     idc = jnp.minimum(idx, C - 1)
+    xyz_r = xyz[idc]
+    op_r = opacity[idc]
+    ls_r = log_scale[idc]
+    qt_r = quat[idc]
 
-    def loss_fn(xyz, opacity, log_scale, quat, shc, probe):
-        xyz_c = xyz[idc]
-        op_c = jax.nn.sigmoid(opacity[idc])
-        sc_c = jnp.exp(log_scale[idc])
-        qt_c = quat[idc]
+    def loss_fn(xyz_r, op_r, ls_r, qt_r, shc, probe):
+        op_c = jax.nn.sigmoid(op_r)
+        sc_c = jnp.exp(ls_r)
         proj = fully_fused_projection(
-            xyz_c, qt_c, sc_c, viewmat[None], Kmat[None], width, height,
+            xyz_r, qt_r, sc_c, viewmat[None], Kmat[None], width, height,
             alive=valid,
         )
         means2d = proj.means2d[0] + probe
-        dirs = xyz_c - campos[None, :]
+        dirs = xyz_r - campos[None, :]
         basis = sh_basis(dirs) * degree_mask(sh_degree)
         colors = jnp.maximum(
             jnp.einsum("nk,nkc->nc", basis, shc.reshape(v_cap, 16, 3)) + 0.5, 0.0
@@ -121,17 +132,37 @@ def micro_step_visible(
     probe0 = jnp.zeros((v_cap, 2), jnp.float32)
     (loss, (radii, n_isects)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
-    )(xyz, opacity, log_scale, quat, sh_compact, probe0)
-    g_xyz, g_op, g_ls, g_qt, g_sh, g_probe = grads
+    )(xyz_r, op_r, ls_r, qt_r, sh_compact, probe0)
+    g_xyz_c, g_op_c, g_ls_c, g_qt_c, g_sh, g_probe = grads
+
+    # inverse map: full row -> its compact position (v_cap = not visible).
+    # Only valid entries scatter (padding rows clamp idc to C-1 and would
+    # otherwise overwrite a genuinely-visible last row).
+    inv = (
+        jnp.full(C, v_cap, jnp.int32)
+        .at[jnp.where(valid, idc, C)]
+        .set(jnp.arange(v_cap, dtype=jnp.int32), mode="drop",
+             unique_indices=True, indices_are_sorted=True)
+    )
+    hit = inv < v_cap
+    invc = jnp.minimum(inv, v_cap - 1)
+
+    def expand(g_c):
+        g = g_c[invc]
+        mask = hit if g.ndim == 1 else hit[:, None]
+        return jnp.where(mask, g, 0.0)
+
     return MicroOut(
         loss=loss,
         gpu_grads={
-            "xyz": g_xyz, "opacity": g_op, "log_scale": g_ls, "quat": g_qt,
+            "xyz": expand(g_xyz_c), "opacity": expand(g_op_c),
+            "log_scale": expand(g_ls_c), "quat": expand(g_qt_c),
         },
         sh_grad_compact=g_sh,
         probe_grad=g_probe,
         radii_compact=radii,
         n_isects=n_isects,
+        inv=inv,
     )
 
 
@@ -199,19 +230,22 @@ def clm_fused_step(
         sh_degree, background, width, height, isect_cap, v_cap,
         lambda_dssim=lambda_dssim, loss_scale=loss_scale,
     )
-    C = xyz.shape[0]
+    # densify stats / visibility union via the micro-step's inverse map —
+    # gather formulation, no XLA scatters (identical values: idx rows unique)
     g = out.probe_grad * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
-    norm = jnp.linalg.norm(g, axis=-1)
-    vis = out.radii_compact > 0
-    dst = jnp.where(vis, idx, C)
+    norm_c = jnp.linalg.norm(g, axis=-1)
+    vis_c = out.radii_compact > 0
+    hit = out.inv < v_cap
+    invc = jnp.minimum(out.inv, v_cap - 1)
+    add = hit & vis_c[invc]
     new_acc = ClmAcc(
         g_xyz=acc.g_xyz + out.gpu_grads["xyz"],
         g_opacity=acc.g_opacity + out.gpu_grads["opacity"],
         g_log_scale=acc.g_log_scale + out.gpu_grads["log_scale"],
         g_quat=acc.g_quat + out.gpu_grads["quat"],
-        accum=acc.accum.at[dst].add(norm, mode="drop"),
-        denom=acc.denom.at[dst].add(1.0, mode="drop"),
-        vis_any=acc.vis_any.at[jnp.minimum(idx, C - 1)].max(idx < C),
+        accum=acc.accum + jnp.where(add, norm_c[invc], 0.0),
+        denom=acc.denom + add.astype(jnp.float32),
+        vis_any=acc.vis_any | hit,
         max_isects=jnp.maximum(acc.max_isects, out.n_isects),
     )
     return out.loss, grad_buf + out.sh_grad_compact, new_acc
