@@ -31,20 +31,38 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import jax.numpy as jnp
-import numpy as np
-
 # v5e per-chip aggregate ICI bandwidth, one direction, torus-adjacent links
 # (public figure; override with --ici-gbs to test sensitivity)
 ICI_GBS_DEFAULT = 100.0
+
+
+def analytic_bound(d_ax: int, g_ax: int, t1: float, ici_gbs: float = ICI_GBS_DEFAULT,
+                   C: int = 1_048_576, V: int = 786_432, B: int = 4):
+    """Zero-overlap scaling-efficiency bound for a (data=d_ax, gauss=g_ax)
+    mesh at bench scale — the analytic ring-collective byte model of this
+    file's step 2-3, reusable from __graft_entry__.dryrun_multichip so every
+    MULTICHIP record carries the number machine-readably."""
+    f32 = 4
+    cams_per_dev = max(B // max(d_ax, 1), 1)
+    ag_cols = 11
+    bytes_gather = cams_per_dev * (g_ax - 1) / max(g_ax, 1) * V * ag_cols * f32
+    gr_cols = 59 + 4
+    bytes_reduce = (
+        2 * (d_ax - 1) / max(d_ax, 1) * (C // max(g_ax, 1)) * gr_cols * f32
+    )
+    bytes_rs = cams_per_dev * (g_ax - 1) / max(g_ax, 1) * V * 9 * f32
+    per_dev = bytes_gather + bytes_reduce + bytes_rs
+    n_dev = d_ax * g_ax
+    t_comm = per_dev / (ici_gbs * 1e9)
+    eff = (t1 / n_dev) / (t1 / n_dev + t_comm)
+    return {
+        "mesh": f"{d_ax}x{g_ax}",
+        "bytes_per_device_per_batch": int(per_dev),
+        "assumed_ici_gbs_one_way": ici_gbs,
+        "single_chip_sec_per_batch": t1,
+        "est_comm_sec_per_batch": round(t_comm, 6),
+        "projected_scaling_efficiency": round(eff, 4),
+    }
 
 
 def main():
@@ -52,6 +70,14 @@ def main():
     args = sys.argv[1:]
     if "--ici-gbs" in args:
         ici_gbs = float(args[args.index("--ici-gbs") + 1])
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from clm_gs_tpu.optim import AdamConfig, init_adam
     from clm_gs_tpu.parallel.mesh import data_sharding, make_mesh, shard_state
@@ -80,54 +106,33 @@ def main():
         "expected collectives missing from the lowered step", inventory
     )
 
-    # ---- 2. analytic per-device bytes per BATCH at bench scale ----
-    C = 1_048_576            # bench capacity
-    V = 786_432              # steady-state gather budget (~663k visible)
-    B = BSZ                  # 4 cameras
-    cams_per_dev = B // d_ax
-    f32 = 4
+    # ---- 2-3. analytic per-device bytes + efficiency bound (see
+    # analytic_bound; shared with __graft_entry__.dryrun_multichip) ----
+    t1 = latest_bench_t1()
+    rec = analytic_bound(d_ax, g_ax, t1, ici_gbs, B=BSZ)
+    rec["hlo_collective_inventory"] = inventory
+    rec["note"] = (
+        "zero-overlap bound; XLA's latency-hiding scheduler overlaps "
+        "the grad all_reduce with backward compute, so realized "
+        "efficiency should exceed this"
+    )
+    print(json.dumps(rec))
 
-    # per camera: all_gather of the compacted projected attributes
-    # (means2d 2 + conic 3 + color 3 + opac 1 + depth 1 + radii 1 = 11 cols
-    # after compaction, NGC=9 live in the kernel table + depth + radii)
-    ag_cols = 11
-    bytes_gather = cams_per_dev * (g_ax - 1) / g_ax * V * ag_cols * f32
 
-    # per batch: grads + stats all_reduce over the data axis of the
-    # gauss-sharded buffers (59 param floats + probe-stat 2 + denom/accum 2)
-    gr_cols = 59 + 4
-    bytes_reduce = 2 * (d_ax - 1) / d_ax * (C // g_ax) * gr_cols * f32
+def latest_bench_t1() -> float:
+    """Most recent committed single-chip no_offload sec_per_batch."""
+    import glob
 
-    # shard_map transpose: reduce_scatter of gathered-attr gradients
-    bytes_rs = cams_per_dev * (g_ax - 1) / g_ax * V * 9 * f32
-
-    per_dev = bytes_gather + bytes_reduce + bytes_rs
-
-    # ---- 3. efficiency bound ----
-    bench = json.load(open("/root/repo/BENCH_r02.json"))
-    t1 = bench["parsed"]["strategies"]["no_offload"]["sec_per_batch"]
-    n_dev = d_ax * g_ax
-    t_comm = per_dev / (ici_gbs * 1e9)
-    eff = (t1 / n_dev) / (t1 / n_dev + t_comm)
-    print(json.dumps({
-        "mesh": f"{d_ax}x{g_ax}",
-        "hlo_collective_inventory": inventory,
-        "bytes_per_device_per_batch": {
-            "attr_all_gather": int(bytes_gather),
-            "grad_stat_all_reduce": int(bytes_reduce),
-            "attr_grad_reduce_scatter": int(bytes_rs),
-            "total": int(per_dev),
-        },
-        "assumed_ici_gbs_one_way": ici_gbs,
-        "single_chip_sec_per_batch": t1,
-        "est_comm_sec_per_batch": round(t_comm, 6),
-        "efficiency_bound_1_to_8": round(eff, 4),
-        "note": (
-            "zero-overlap bound; XLA's latency-hiding scheduler overlaps "
-            "the grad all_reduce with backward compute, so realized "
-            "efficiency should exceed this"
-        ),
-    }))
+    for p in sorted(glob.glob("/root/repo/BENCH_r0*.json"), reverse=True):
+        try:
+            b = json.load(open(p))
+            parsed = b.get("parsed") or {}
+            t1 = parsed["strategies"]["no_offload"]["sec_per_batch"]
+            if t1:
+                return float(t1)
+        except Exception:
+            continue
+    return 0.428  # BENCH_r04 fallback
 
 
 if __name__ == "__main__":
