@@ -281,9 +281,147 @@ def run_child(strategy: str):
     print("BENCH_CHILD " + json.dumps(rec), flush=True)
 
 
+def run_roofline():
+    """Hardware-vs-achieved arithmetic for the BENCH record (VERDICT r4 #5):
+    measured device ceilings (VPU f32 elementwise rate, HBM stream bandwidth,
+    sort rate, random-row gather rate) next to the rasterizer's achieved
+    rates, so an outside reader can audit how much of the ~4x residual gap to
+    the 4090 baseline is hardware-shaped. All numbers measured on this chip
+    in this process; kernel op-rate is CONSERVATIVE (the whole fwd pass —
+    binning + gather + kernel — is charged to the kernel's op count)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.environ.get("CLMGS_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CLMGS_BENCH_PLATFORM"])
+    sys.path.insert(0, "/root/repo")
+    from clm_gs_tpu.ops import rasterize as R
+    from clm_gs_tpu.ops.projection import fully_fused_projection
+    from clm_gs_tpu.utils.bench_scene import (
+        H, ISECT_CAP, W, drain_scalar, make_scene,
+    )
+
+    def timeit(fn, *args, iters=6):
+        out = fn(*args)
+        drain_scalar(*[x for x in jax.tree.leaves(out) if hasattr(x, "reshape")][:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        drain_scalar(*[x for x in jax.tree.leaves(out) if hasattr(x, "reshape")][:1])
+        return (time.perf_counter() - t0) / iters
+
+    # 1. VPU f32 elementwise ceiling: 256-deep FMA chain on 2M lanes
+    # (CPU smoke mode shrinks every probe so the child stays ~seconds)
+    small = os.environ.get("CLMGS_BENCH_PLATFORM") == "cpu"
+    CH = 64 if small else 256
+    NE = (256 * 1024) if small else 2 * 1024 * 1024
+
+    @jax.jit
+    def fma(x):
+        for _ in range(CH):
+            x = x * 1.0000001 + 1e-9
+        return x
+
+    t = timeit(fma, jnp.ones((NE,), jnp.float32))
+    vpu_gflops = 2 * CH * NE / t / 1e9
+
+    # 2. HBM stream: add over 64M f32 (read+write 512 MB)
+    nbig = (1 << 22) if small else 64 * 1024 * 1024
+    big = jnp.ones((nbig,), jnp.float32)
+    t = timeit(jax.jit(lambda x: x + 1.0), big)
+    hbm_gbps = 2 * big.nbytes / t / 1e9
+
+    # 3. sort rate: 4M random s32 keys + 1 payload (2 operands)
+    rng = np.random.RandomState(0)
+    nsort = (1 << 18) if small else 4 * 2**20
+    keys = jnp.asarray(rng.randint(0, 1 << 30, nsort, dtype=np.int32))
+    pay = jnp.arange(nsort, dtype=jnp.int32)
+    t = timeit(jax.jit(lambda k, p: jax.lax.sort((k, p), num_keys=1)), keys, pay)
+    sort_ms_per_mop = t * 1e3 / (2 * nsort / 2**20)
+
+    # 4. random-row gather: (1M, 16) f32 table, 2.6M random rows
+    ntab = (1 << 16) if small else (1 << 20)
+    ngat = (1 << 18) if small else 2_621_440
+    table = jnp.asarray(rng.rand(ntab, 16).astype(np.float32))
+    gidx = jnp.asarray(rng.randint(0, ntab, ngat, dtype=np.int32))
+    t = timeit(jax.jit(lambda tb, i: tb[i]), table, gidx)
+    gather_gbps = ngat * 16 * 4 / t / 1e9
+    gather_ms_per_mrow = t * 1e3 / (ngat / 2**20)
+
+    # 5. rasterize fwd and fwd+bwd on the bench scene's camera 0
+    state, _opt, cb, _gts, _lrs, _ac, bg = make_scene()
+    p = state.params
+    proj = fully_fused_projection(
+        p.xyz, p.quat, jnp.exp(p.log_scale), cb.viewmats[:1], cb.Ks[:1],
+        W, H, alive=state.alive,
+    )
+    means2d, conics = proj.means2d[0], proj.conics[0]
+    depths, radii = proj.depths[0], proj.radii[0]
+    colors = jnp.abs(jnp.tanh(p.xyz))
+    opac = jax.nn.sigmoid(p.opacity)
+
+    @jax.jit
+    def fwd(m, c, col, op):
+        img, _a, n = R.rasterize(m, c, col, op, depths, radii, W, H, bg,
+                                 ISECT_CAP)
+        return img, n
+
+    @jax.jit
+    def fwdbwd(m, c, col, op):
+        def f(m, c, col, op):
+            img, _a, _n = R.rasterize(m, c, col, op, depths, radii, W, H, bg,
+                                      ISECT_CAP)
+            return jnp.sum(img * img)
+
+        return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(m, c, col, op)
+
+    t_f = timeit(fwd, means2d, conics, colors, opac)
+    _img, n_isects = fwd(means2d, conics, colors, opac)
+    n_i = float(n_isects)
+    t_fb = timeit(fwdbwd, means2d, conics, colors, opac)
+    P = R.TILE_W * R.TILE_H
+    # per instance-pixel f32 op counts read from the kernel bodies
+    # (ops/rasterize.py): fwd ~13 (sigma 5, exp-approx 4, alpha/T/rgb 4);
+    # bwd adds ~21 (recompute + 5-row cotangent contraction)
+    OPS_F, OPS_FB = 13, 34
+    fwd_gflops = n_i * P * OPS_F / t_f / 1e9
+    fb_gflops = n_i * P * OPS_FB / t_fb / 1e9
+    rec = {
+        "measured_ceilings": {
+            "vpu_fma_gflops_f32": round(vpu_gflops, 1),
+            "hbm_stream_gbps": round(hbm_gbps, 1),
+            "sort_ms_per_M_operands": round(sort_ms_per_mop, 3),
+            "gather_gbps_16col_random": round(gather_gbps, 2),
+            "gather_ms_per_M_rows_16col": round(gather_ms_per_mrow, 2),
+        },
+        "rasterize_camera0": {
+            "n_instances": int(n_i),
+            "pixels_per_tile": P,
+            "fwd_ms": round(t_f * 1e3, 2),
+            "fwd_bwd_ms": round(t_fb * 1e3, 2),
+            "fwd_gflops_conservative": round(fwd_gflops, 1),
+            "fwd_bwd_gflops_conservative": round(fb_gflops, 1),
+            "fwd_pct_of_vpu": round(100 * fwd_gflops / vpu_gflops, 1),
+            "fwd_bwd_pct_of_vpu": round(100 * fb_gflops / vpu_gflops, 1),
+            "ops_per_instance_pixel_assumed": [OPS_F, OPS_FB],
+        },
+        "note": (
+            "kernel pct-of-VPU is conservative: binning/sort/gather/plan "
+            "time is charged to the kernel op count; the elementwise FMA "
+            "chain is the practical VPU f32 ceiling on this chip"
+        ),
+    }
+    print("BENCH_CHILD " + json.dumps({"strategy": "roofline", **rec}),
+          flush=True)
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        run_child(sys.argv[2])
+        if sys.argv[2] == "roofline":
+            run_roofline()
+        else:
+            run_child(sys.argv[2])
         return
 
     # `--res 4k`: one no_offload child at 3840x2160 with a 4K-scaled isect
@@ -326,7 +464,7 @@ def main():
     # tunnel at 4K would time out without measuring anything new)
     strategies = (
         ("no_offload",) if res4k
-        else ("no_offload", "naive_offload", "clm_offload")
+        else ("no_offload", "naive_offload", "clm_offload", "roofline")
     )
     for strategy in strategies:
         try:

@@ -91,6 +91,21 @@ def main():
 
     rng = np.random.RandomState(seed)
     xyz, log_scale, quat, opacity, sh = _surface_gaussians(n_gauss, rng)
+    # LEARNABLE colors (round-5 fix, VERDICT r4 #6): the bench scene's
+    # per-gaussian uniform-random DC is sub-pixel color noise — novel views
+    # are unpredictable in principle, so test PSNR saturates near the noise
+    # floor (~26 dB in QUALITY_r04) while train memorizes to 43. Replace DC
+    # with a smooth positional palette (+ mild per-gaussian texture noise)
+    # and damp the high-order SH so appearance interpolates across views the
+    # way real captured scenes do. Perf bench statistics are unaffected
+    # (bench_scene keeps its own distribution).
+    Wmix = rng.uniform(0.5, 1.4, (3, 3)) * rng.choice([-1.0, 1.0], (3, 3))
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    rgb = 0.5 + 0.33 * np.sin(xyz @ Wmix.T.astype(np.float32) + phase)
+    sh[:, 0:3] = (rgb - 0.5) / 0.28209479 + 0.10 * rng.normal(
+        size=(n_gauss, 3)
+    ).astype(np.float32)
+    sh[:, 3:] *= 0.5
     cap = -(-n_gauss // 65536) * 65536
 
     def pad(x):
