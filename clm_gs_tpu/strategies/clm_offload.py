@@ -248,29 +248,6 @@ def _order_and_finish_sets(idx_np, counts_np, dist, alive_np, reorder_min_last,
     return order, finish_sets, never
 
 
-@jax.jit
-def _advance_working_set(sh_prev, grad_prev, h_rows, pd, pn, hn, gp):
-    """Device-side working-set advance for one camera transition.
-
-    pd/pn: positions of retained (D) rows in the previous/next layout;
-    hn: positions of host-fetched (H) rows in the next layout (length =
-    h_rows rows, bucketed); gp: positions of dropped (G) rows in the previous
-    layout (bucketed). Padding value v_cap -> dropped by scatter mode="drop".
-    Returns (sh_next, grad_carry_next, g_rows_out (len(gp), 48)).
-    """
-    v = sh_prev.shape[0]
-    pdc = jnp.minimum(pd, v - 1)
-    gpc = jnp.minimum(gp, v - 1)
-    sh_next = (
-        jnp.zeros_like(sh_prev)
-        .at[pn].set(sh_prev[pdc], mode="drop")
-        .at[hn].set(h_rows, mode="drop")
-    )
-    grad_carry = jnp.zeros_like(grad_prev).at[pn].set(grad_prev[pdc], mode="drop")
-    g_rows = grad_prev[gpc]  # caller slices the valid prefix after D2H
-    return sh_next, grad_carry, g_rows
-
-
 @partial(jax.jit, donate_argnums=(0, 1))
 def _advance_ws_packed(sh_prev, grad_prev, h_rows, idxv):
     """Working-set advance as PURE GATHERS with host-inverted index maps.
@@ -313,18 +290,31 @@ def _invert_transition(pd, pn, hn, v_cap, h_cap):
     return src, gsrc
 
 
-@jax.jit
-def _advance_working_set_batch(sh_d, grad_d, h_d, pd_d, pn_d, hn_d, gp_d):
-    """D chains' working-set advances in one dispatch (leading axis = the
-    mesh `data` axis in the clm x data-parallel regime)."""
-    return jax.vmap(_advance_working_set)(
-        sh_d, grad_d, h_d, pd_d, pn_d, hn_d, gp_d
-    )
+@partial(jax.jit, donate_argnums=(0, 1))
+def _advance_ws_packed_batch(sh_d, grad_d, h_d, idxv_d):
+    """D chains' gather-form advances in one dispatch (leading axis = the
+    mesh `data` axis in the clm x data-parallel regime); same per-chain
+    semantics as _advance_ws_packed."""
+
+    def one(sh_prev, grad_prev, h_rows, idxv):
+        v = sh_prev.shape[0]
+        src = idxv[:v]
+        gsrc = idxv[v : 2 * v]
+        gp = jnp.minimum(idxv[2 * v :], v - 1)
+        sh_next = jnp.concatenate(
+            [sh_prev, h_rows, jnp.zeros((1, sh_prev.shape[1]), sh_prev.dtype)]
+        )[src]
+        grad_carry = jnp.concatenate(
+            [grad_prev, jnp.zeros((1, grad_prev.shape[1]), grad_prev.dtype)]
+        )[gsrc]
+        return sh_next, grad_carry, grad_prev[gp]
+
+    return jax.vmap(one)(sh_d, grad_d, h_d, idxv_d)
 
 
 def _bucket(n: int, v_cap: int) -> int:
     """Static transfer-buffer size for n rows: next power of two, >= 256,
-    <= v_cap. Bounds the number of _advance_working_set recompiles while
+    <= v_cap. Bounds the number of _advance_ws_packed recompiles while
     keeping H2D/D2H traffic proportional to the actual delta (the reference
     sizes its retention transfers by the precomputed cnt_h/cnt_g,
     engine.py:226-236)."""
@@ -567,19 +557,16 @@ def train_one_batch(
                     )
                     for d in range(D)
                 ]
-                # uniform static buckets across chains (one compiled shape)
+                # uniform static buckets across chains (one compiled shape);
+                # gather-form advance: per-chain host-inverted maps (see
+                # _advance_ws_packed)
                 h_cap = max(len(c[2]) for c in cls)
                 g_cap = max(len(c[3]) for c in cls)
-                pd_d = np.stack([c[0] for c in cls])
-                pn_d = np.stack([c[1] for c in cls])
-                hn_d = np.full((D, h_cap), ctx.v_cap, np.int32)
-                gp_d = np.full((D, g_cap), ctx.v_cap, np.int32)
+                idxv_d = np.zeros((D, 2 * ctx.v_cap + g_cap), np.int32)
                 h_rows = np.zeros((D, h_cap, SH_COLS), np.float32)
                 g_ids = []
                 for d in range(D):
-                    _, _, hn, gp, gp_raw, hn_raw = cls[d]
-                    hn_d[d, : len(hn)] = hn
-                    gp_d[d, : len(gp)] = gp
+                    pd, pn, hn, gp, gp_raw, hn_raw = cls[d]
                     nxt = idx_np[int(seg[d][s + 1])][
                         : int(counts_np[int(seg[d][s + 1])])
                     ]
@@ -587,10 +574,16 @@ def train_one_batch(
                         h_rows[d, : len(hn_raw)] = native.gather_rows(
                             ctx.sh_host, nxt[hn_raw].astype(np.int32)
                         )
+                    nr = len(ids_s[d]) - len(gp_raw)
+                    src, gsrc = _invert_transition(
+                        pd[:nr], pn[:nr], hn_raw, ctx.v_cap, h_cap
+                    )
+                    gp_pad = np.full(g_cap, ctx.v_cap, np.int32)
+                    gp_pad[: len(gp_raw)] = gp[: len(gp_raw)]
+                    idxv_d[d] = np.concatenate([src, gsrc, gp_pad])
                     g_ids.append(ids_s[d][gp_raw])
-                shc_d, grad_d, g_rows_d = _advance_working_set_batch(
-                    shc_d, grad_d, put_d(h_rows),
-                    put_d(pd_d), put_d(pn_d), put_d(hn_d), put_d(gp_d),
+                shc_d, grad_d, g_rows_d = _advance_ws_packed_batch(
+                    shc_d, grad_d, put_d(h_rows), put_d(idxv_d)
                 )
                 new_pending = (g_rows_d, g_ids, rows_fin)
                 tm.stop("clm.advance")

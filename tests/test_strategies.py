@@ -294,3 +294,87 @@ class TestClmDataChains:
             ISECT_CAP, cfg, n_chains=3,  # bsz = 4
         )
         assert out.losses.shape == (4,)
+
+
+class TestAdvanceGatherForm:
+    """Round-5: the working-set advance is host-inverted gathers (the XLA
+    row-scatter form cost ~140 ms per (900k,48) buffer on chip). These pin
+    the inversion + gather semantics against a direct numpy reference."""
+
+    def _ref_advance(self, sh_prev, grad_prev, h_rows, pd, pn, hn, v_cap):
+        sh_next = np.zeros_like(sh_prev)
+        sh_next[pn] = sh_prev[pd]
+        sh_next[hn] = h_rows[: len(hn)]
+        grad_carry = np.zeros_like(grad_prev)
+        grad_carry[pn] = grad_prev[pd]
+        return sh_next, grad_carry
+
+    @pytest.mark.parametrize(
+        "prev,nxt",
+        [
+            ([1, 4, 7, 9], [2, 4, 9, 11, 13]),  # partial overlap
+            ([1, 4, 7], [10, 11]),  # disjoint: all H, all G
+            ([2, 5, 8], [2, 5, 8]),  # identical: no H, no G
+            ([], [3, 6]),  # empty previous
+        ],
+    )
+    def test_matches_reference(self, prev, nxt):
+        v_cap = 8
+        rng = np.random.RandomState(0)
+        prev = np.asarray(prev, np.int32)
+        nxt = np.asarray(nxt, np.int32)
+        pd, pn, hn, gp, gp_raw, hn_raw = clm_offload._classify_transition(
+            prev, nxt, v_cap
+        )
+        h_cap = len(hn)
+        sh_prev = rng.rand(v_cap, 48).astype(np.float32)
+        grad_prev = rng.rand(v_cap, 48).astype(np.float32)
+        h_rows = np.zeros((h_cap, 48), np.float32)
+        h_rows[: len(hn_raw)] = rng.rand(len(hn_raw), 48)
+
+        nr = len(prev) - len(gp_raw)
+        src, gsrc = clm_offload._invert_transition(
+            pd[:nr], pn[:nr], hn_raw, v_cap, h_cap
+        )
+        sh_next, grad_carry, g_rows = clm_offload._advance_ws_packed(
+            jnp.asarray(sh_prev), jnp.asarray(grad_prev), jnp.asarray(h_rows),
+            jnp.asarray(np.concatenate([src, gsrc, gp])),
+        )
+        ref_sh, ref_gc = self._ref_advance(
+            sh_prev, grad_prev, h_rows, pd[:nr], pn[:nr], hn_raw, v_cap
+        )
+        np.testing.assert_array_equal(np.asarray(sh_next), ref_sh)
+        np.testing.assert_array_equal(np.asarray(grad_carry), ref_gc)
+        # G rows: dropped rows' accumulated grads, valid prefix
+        np.testing.assert_array_equal(
+            np.asarray(g_rows)[: len(gp_raw)], grad_prev[gp_raw]
+        )
+
+
+class TestDeviceLoopReplay:
+    def test_replay_losses_match_batch(self):
+        """prepare_device_loop (bench decomposition harness) replays the exact
+        per-camera math of train_one_batch: with param updates frozen, the
+        final camera's loss must agree bitwise."""
+        state, cb, gts = _perturbed(seed=5)
+        cfg = _mk_cfg("clm_offload")
+        cfg.debug.stop_update_param = True
+        cfg.debug.stop_update_param_assert = False
+        ctx = clm_offload.make_context(cfg, state, AdamConfig())
+        stripped = clm_offload.strip_device_sh(state)
+        opt = init_adam(stripped.params)
+        _s, _o, ctx, out = clm_offload.train_one_batch(
+            stripped, opt, ctx, cb, gts, 3, LRS, AdamConfig(), BG, W, H,
+            ISECT_CAP, cfg,
+        )
+        run, n_disp = clm_offload.prepare_device_loop(
+            stripped, ctx, cb, gts, 3, BG, W, H, ISECT_CAP, cfg
+        )
+        loss1, acc1 = run()
+        loss2, acc2 = run()  # rerunnable: donation must not corrupt inputs
+        assert float(loss1) == float(loss2)
+        np.testing.assert_array_equal(
+            np.asarray(acc1.g_xyz), np.asarray(acc2.g_xyz)
+        )
+        assert float(loss1) == float(np.asarray(out.losses)[-1])
+        assert n_disp == 2 * gts.shape[0] + 2
