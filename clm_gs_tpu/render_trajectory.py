@@ -176,10 +176,19 @@ def main(argv=None):
         args.load_ply_path = os.path.join(pc_root, iters[-1], "point_cloud.ply")
         print(f"using {args.load_ply_path}", file=sys.stderr)
 
+    # clm placement: SH loads into host memory and never lands on device
+    # (BigCity-scale models OOM HBM otherwise; same path as Scene)
+    host_sh = None
     if args.load_pt_path:
-        state = G.load_tensors(args.load_pt_path)
+        if args.clm_offload:
+            state, host_sh = G.load_tensors(args.load_pt_path, host_sh=True)
+        else:
+            state = G.load_tensors(args.load_pt_path)
     elif args.load_ply_path:
-        state = G.load_ply(args.load_ply_path)
+        if args.clm_offload:
+            state, host_sh = G.load_ply(args.load_ply_path, host_sh=True)
+        else:
+            state = G.load_ply(args.load_ply_path)
     else:
         ap.error("need --model_dir, --load_ply_path or --load_pt_path")
     print(f"loaded {int(state.n_alive)} gaussians", file=sys.stderr)
@@ -225,8 +234,14 @@ def main(argv=None):
         from clm_gs_tpu.optim import AdamConfig
         from clm_gs_tpu.strategies import clm_offload
 
-        ctx = clm_offload.make_context(Config(), state, AdamConfig())
-        state_r = clm_offload.strip_device_sh(state)
+        if host_sh is not None:
+            ctx = clm_offload.make_context_from_host(
+                Config(), host_sh, AdamConfig()
+            )
+            state_r = state  # already carries the (1, 48) placeholder
+        else:
+            ctx = clm_offload.make_context(Config(), state, AdamConfig())
+            state_r = clm_offload.strip_device_sh(state)
         render = lambda vm, c2w: clm_offload.eval_one_cam(
             (state_r, ctx), jnp.asarray(vm), K, jnp.asarray(c2w),
             args.sh_degree, bg, args.width, args.height, args.isect_cap,
