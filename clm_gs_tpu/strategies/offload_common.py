@@ -70,6 +70,7 @@ class MicroOut(NamedTuple):
     radii_compact: jnp.ndarray  # (v_cap,)
     n_isects: jnp.ndarray
     inv: jnp.ndarray = None  # (C,) full row -> compact position (v_cap = miss)
+    stat_full: jnp.ndarray = None  # (C, 2) [screen-grad norm, visible] f32
 
 
 @partial(
@@ -147,22 +148,37 @@ def micro_step_visible(
     hit = inv < v_cap
     invc = jnp.minimum(inv, v_cap - 1)
 
-    def expand(g_c):
-        g = g_c[invc]
-        mask = hit if g.ndim == 1 else hit[:, None]
-        return jnp.where(mask, g, 0.0)
+    # ONE packed row-gather for all 11 grad columns + the 2 densify-stat
+    # columns: per-attribute gathers on narrow-row (v_cap, 3/4) tables pay a
+    # relayout per channel (chip trace: ~78 ms for the quat channel alone);
+    # random-access COUNT dominates TPU gather cost, so the 16-col padded
+    # table costs about the same as one narrow gather (same lesson as the
+    # rasterizer's packed attr table).
+    gscale = jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
+    norm_c = jnp.linalg.norm(g_probe * gscale, axis=-1)
+    vis_c = (radii > 0).astype(jnp.float32)
+    packed = jnp.concatenate(
+        [
+            g_xyz_c, g_op_c[:, None], g_ls_c, g_qt_c,
+            norm_c[:, None], vis_c[:, None],
+            jnp.zeros((v_cap, 3), jnp.float32),
+        ],
+        axis=1,
+    )  # (v_cap, 16)
+    rows = jnp.where(hit[:, None], packed[invc], 0.0)  # (C, 16)
 
     return MicroOut(
         loss=loss,
         gpu_grads={
-            "xyz": expand(g_xyz_c), "opacity": expand(g_op_c),
-            "log_scale": expand(g_ls_c), "quat": expand(g_qt_c),
+            "xyz": rows[:, 0:3], "opacity": rows[:, 3],
+            "log_scale": rows[:, 4:7], "quat": rows[:, 7:11],
         },
         sh_grad_compact=g_sh,
         probe_grad=g_probe,
         radii_compact=radii,
         n_isects=n_isects,
         inv=inv,
+        stat_full=rows[:, 11:13],  # [screen-grad norm, visible] at full rows
     )
 
 
@@ -230,21 +246,18 @@ def clm_fused_step(
         sh_degree, background, width, height, isect_cap, v_cap,
         lambda_dssim=lambda_dssim, loss_scale=loss_scale,
     )
-    # densify stats / visibility union via the micro-step's inverse map —
-    # gather formulation, no XLA scatters (identical values: idx rows unique)
-    g = out.probe_grad * jnp.array([[width * 0.5, height * 0.5]], jnp.float32)
-    norm_c = jnp.linalg.norm(g, axis=-1)
-    vis_c = out.radii_compact > 0
+    # densify stats / visibility union from the micro-step's packed expansion
+    # (stat_full rides the same row-gather as the grads; no XLA scatters —
+    # identical values: idx rows unique)
     hit = out.inv < v_cap
-    invc = jnp.minimum(out.inv, v_cap - 1)
-    add = hit & vis_c[invc]
+    vis_f = out.stat_full[:, 1] > 0.0
     new_acc = ClmAcc(
         g_xyz=acc.g_xyz + out.gpu_grads["xyz"],
         g_opacity=acc.g_opacity + out.gpu_grads["opacity"],
         g_log_scale=acc.g_log_scale + out.gpu_grads["log_scale"],
         g_quat=acc.g_quat + out.gpu_grads["quat"],
-        accum=acc.accum + jnp.where(add, norm_c[invc], 0.0),
-        denom=acc.denom + add.astype(jnp.float32),
+        accum=acc.accum + jnp.where(vis_f, out.stat_full[:, 0], 0.0),
+        denom=acc.denom + vis_f.astype(jnp.float32),
         vis_any=acc.vis_any | hit,
         max_isects=jnp.maximum(acc.max_isects, out.n_isects),
     )
