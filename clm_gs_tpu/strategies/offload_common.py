@@ -27,7 +27,7 @@ from clm_gs_tpu.strategies.base import photometric_loss
 
 
 class Filters(NamedTuple):
-    vis: jnp.ndarray  # (B, C) bool
+    vis: object  # None (dropped: a (B, C) bool matrix is 1.6 GB at BigCity scale)
     idx: jnp.ndarray  # (B, v_cap) int32, fill = C
     counts: jnp.ndarray  # (B,) int32
     sample: jnp.ndarray  # (B, ceil(C/stride)) bool — TSP distance sample
@@ -43,23 +43,29 @@ def calculate_filters(
 ) -> Filters:
     """Per-camera visibility via projection-only culling (calculate_filters,
     base_engine.py:18-76). Runs on the selection-critical GPU attributes only —
-    no SH needed, so the clm strategy computes it without touching host data."""
-    proj = fully_fused_projection(
-        xyz, quat, jnp.exp(log_scale), viewmats, Ks, width, height,
-        radius_clip=radius_clip, alive=alive,
-    )
-    vis = proj.radii > 0  # (B, C)
-    counts = jnp.sum(vis, axis=1).astype(jnp.int32)
+    no SH needed, so the clm strategy computes it without touching host data.
 
-    def one(v):
-        (i,) = jnp.nonzero(v, size=v_cap, fill_value=v.shape[0])
-        return i.astype(jnp.int32)
+    Sequential lax.map over cameras: the all-camera projection intermediates
+    are (B, C) x ~7 floats — ~45 GB at BigCity scale (64 cams x 25M) — while
+    one camera's worth is ~700 MB; only the compact (idx, counts, sample)
+    outputs persist across iterations."""
+    scales = jnp.exp(log_scale)
 
-    idx = jax.vmap(one)(vis)
-    # 1/stride downsample for the TSP Hamming distances
-    # (clm_offload/engine.py:158-176)
-    sample = vis[:, ::sample_stride]
-    return Filters(vis, idx, counts, sample)
+    def one(args):
+        vm, K = args
+        proj = fully_fused_projection(
+            xyz, quat, scales, vm[None], K[None], width, height,
+            radius_clip=radius_clip, alive=alive,
+        )
+        vis = proj.radii[0] > 0  # (C,)
+        counts = jnp.sum(vis).astype(jnp.int32)
+        (i,) = jnp.nonzero(vis, size=v_cap, fill_value=vis.shape[0])
+        # 1/stride downsample for the TSP Hamming distances
+        # (clm_offload/engine.py:158-176)
+        return i.astype(jnp.int32), counts, vis[::sample_stride]
+
+    idx, counts, sample = jax.lax.map(one, (viewmats, Ks))
+    return Filters(None, idx, counts, sample)
 
 
 class MicroOut(NamedTuple):
