@@ -147,6 +147,16 @@ def memory_report(check_device: bool = False, check_host: bool = False) -> str:
             )
         except Exception:
             parts.append("device peak n/a")
+        try:
+            # live device array bytes: works even where memory_stats is None
+            # (this sandbox's axon plugin) — the strategy-resident state
+            live = sum(
+                x.nbytes for x in jax.live_arrays()
+                if getattr(x, "is_deleted", lambda: False)() is False
+            )
+            parts.append(f"device live {live / 2**30:.2f} GB")
+        except Exception:
+            pass
     if check_host:
         import resource
 

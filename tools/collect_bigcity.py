@@ -31,6 +31,7 @@ def main():
     )
     iters = re.findall(r"iteration\[(\d+),(\d+)\) loss: ([\d.]+)", log)
     mem = re.findall(r"host peak rss ([\d.]+) GB", log)
+    dev_live = re.findall(r"device live ([\d.]+) GB", log)
     init = re.findall(r"Initialized (\d+) gaussians \(capacity (\d+)\)", log)
     rec = {
         "scene": "25M-gaussian synthetic city, 64 cams 640x400, serpentine "
@@ -52,6 +53,7 @@ def main():
             else None
         ),
         "host_peak_gb": float(mem[-1]) if mem else None,
+        "device_live_gb_max": max((float(x) for x in dev_live), default=None),
         "final_eval": [
             {"iter": int(i), "split": s, "psnr": float(p)}
             for i, s, l, p in evals
