@@ -217,14 +217,20 @@ def densify_and_prune(
 
 
 @jax.jit
-def reset_opacity(state: GaussianState, opt_state: AdamState):
+def reset_opacity(state: GaussianState, opt_state):
     """opacity <- inverse_sigmoid(min(sigmoid(opacity), 0.01)); zero the
-    opacity Adam moments (reset_opacity, no_offload/gaussian_model.py:385)."""
+    opacity Adam moments (reset_opacity, no_offload/gaussian_model.py:385).
+
+    opt_state may be None (naive_offload keeps ALL moments host-side and the
+    strategy's post_opacity_reset zeroes them there) — densify_and_prune has
+    the same guard; its absence here crashed the first 3000-iteration reset
+    of a full-schedule naive run."""
     p = state.params
     new_op = inverse_sigmoid(jnp.clip(jax.nn.sigmoid(p.opacity), 1e-7, 0.01))
     new_op = jnp.where(state.alive, new_op, 0.0)
     state = replace(state, params=replace(p, opacity=new_op))
-    opt_state = zero_opacity_rows(opt_state, state.alive)
+    if opt_state is not None:
+        opt_state = zero_opacity_rows(opt_state, state.alive)
     return state, opt_state
 
 

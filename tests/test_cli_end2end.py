@@ -94,6 +94,30 @@ def test_checkpoint_resume(dataset, tmp_path):
     assert "Resumed from" in log
 
 
+@pytest.mark.parametrize(
+    "strategy", ["no_offload", "naive_offload", "clm_offload"]
+)
+def test_opacity_reset_mid_run(dataset, tmp_path, strategy):
+    """Cross an opacity-reset boundary under each strategy: the reset path is
+    the one schedule event the other e2e tests disable (interval 100000), and
+    the naive_offload variant crashed on it in a full-schedule run
+    (opt_state is None for host-resident moments; reset_opacity lacked
+    densify_and_prune's None guard)."""
+    out = str(tmp_path / f"reset_{strategy}")
+    _run(
+        dataset, out, strategy, iters=12,
+        extra=["--opacity_reset_interval", "8", "--do_not_save"],
+    )
+    log = open(os.path.join(out, "python.log")).read()
+    assert "reset_opacity" in log
+    assert "end2end total_time:" in log  # run survived past the reset
+    events = [
+        json.loads(l) for l in open(os.path.join(out, "events.jsonl"))
+    ]
+    evals = [e for e in events if e["kind"] == "eval"]
+    assert evals and all(np.isfinite(e["psnr"]) for e in evals)
+
+
 @pytest.mark.parametrize("strategy", ["naive_offload", "clm_offload"])
 def test_checkpoint_resume_offload(dataset, tmp_path, strategy):
     """Resume must restore the offload strategies' host-side state

@@ -28,10 +28,12 @@ def main():
         "--llffhold", "8", "--bsz", "64", "--iterations", str(iters),
         "--sparse_adam",
         "--load_ply_path", os.path.join(scene, "init_model.ply"),
+        "--prealloc_capacity", str(26 * 2**20),
         "--test_iterations", *evals,
         "--save_iterations", "0",
         "--densify_until_iter", "0",
         "--isect_cap", str(8 * 2**20),
+        "--check_gpu_memory", "--check_cpu_memory",
         "--log_interval", "64", "--quiet",
     ])
     print(f"bigcity: done in {time.time()-t0:.0f} s", flush=True)
