@@ -100,22 +100,28 @@ class Scene:
                 return r[0]
             return r
 
+        # --prealloc_capacity applies to every init path (the reference sizes
+        # its pinned buffer the same way regardless of pcd/ply/pt init,
+        # train.py:107-122): at BigCity scale with densification off the
+        # default next_capacity headroom (1.25x) wastes GBs of HBM rows.
+        cap = (
+            cfg.aux.prealloc_capacity
+            if cfg.aux.prealloc_capacity > 0
+            else None
+        )
         if cfg.aux.load_pt_path:
             self.gaussians = _unpack(
-                G.load_tensors(cfg.aux.load_pt_path, host_sh=host_sh)
+                G.load_tensors(cfg.aux.load_pt_path, capacity=cap,
+                               host_sh=host_sh)
             )
         elif cfg.aux.load_ply_path and cfg.aux.load_ply_path.endswith(".ply") and _is_model_ply(cfg.aux.load_ply_path):
             self.gaussians = _unpack(
-                G.load_ply(cfg.aux.load_ply_path, host_sh=host_sh)
+                G.load_ply(cfg.aux.load_ply_path, capacity=cap,
+                           host_sh=host_sh)
             )
         else:
             pcd = info.point_cloud
             assert pcd is not None, "no initial point cloud found"
-            cap = (
-                cfg.aux.prealloc_capacity
-                if cfg.aux.prealloc_capacity > 0
-                else None
-            )
             ratio = cfg.aux.initial_point_cloud_downsampled_ratio
             if getattr(cfg.debug, "drop_initial_3dgs_p", 0.0) > 0:
                 ratio = min(ratio, 1.0 - cfg.debug.drop_initial_3dgs_p)

@@ -28,7 +28,7 @@ def main():
         "--llffhold", "8", "--bsz", "64", "--iterations", str(iters),
         "--sparse_adam",
         "--load_ply_path", os.path.join(scene, "init_model.ply"),
-        "--prealloc_capacity", str(26 * 2**20),
+        "--prealloc_capacity", str(382 * 65536),  # 25.03M: snug, densify off
         "--test_iterations", *evals,
         "--save_iterations", "0",
         "--densify_until_iter", "0",
