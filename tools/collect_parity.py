@@ -38,6 +38,15 @@ def main():
     out = sys.argv[1]
     runs = {}
     for d in sys.argv[2:]:
+        if d.endswith(".json"):
+            # merge strategies from a prior record (e.g. PARITY30K_r04's
+            # no_offload run, whose trajectory code is unchanged)
+            prev = json.load(open(d))
+            for name, rec in prev.get("runs", {}).items():
+                if name not in runs:
+                    rec = dict(rec, source=os.path.basename(d))
+                    runs[name] = rec
+            continue
         name = os.path.basename(d.rstrip("/")).replace("run_", "")
         rec = parse_run(d)
         if rec:
@@ -53,6 +62,28 @@ def main():
         at_iter = max(common)
         vals = [rec["test_psnr"][str(at_iter)] for rec in runs.values()]
         spread = round(max(vals) - min(vals), 3)
+    # pairwise spreads at each pair's own highest common milestone (a run
+    # stopped early by wall-clock still gets compared as deep as it went)
+    pairwise = {}
+    names = sorted(runs)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            com = set(int(k) for k in runs[a]["test_psnr"]) & set(
+                int(k) for k in runs[b]["test_psnr"]
+            )
+            if com:
+                m = max(com)
+                pairwise[f"{a}|{b}"] = {
+                    "at_iter": m,
+                    "spread_db": round(
+                        abs(
+                            runs[a]["test_psnr"][str(m)]
+                            - runs[b]["test_psnr"][str(m)]
+                        ),
+                        3,
+                    ),
+                }
     record = {
         "schedule": {
             "iterations": 30000, "bsz": 4, "densify": "500..15000/100",
@@ -62,6 +93,7 @@ def main():
         "runs": runs,
         "iso_iter_spread_db": spread,
         "spread_at_iter": at_iter,
+        "pairwise": pairwise,
     }
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
