@@ -67,8 +67,13 @@ jtu.register_dataclass(AdamState, data_fields=["mu", "nu", "steps"], meta_fields
 
 
 def init_adam(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(mu=zeros, nu=zeros, steps=jnp.zeros((), jnp.float32))
+    # mu and nu must be DISTINCT buffers: sharing one zeros tree trips
+    # "donate the same buffer twice" in donated steps (clm's _adam_tail)
+    return AdamState(
+        mu=jax.tree.map(jnp.zeros_like, params),
+        nu=jax.tree.map(jnp.zeros_like, params),
+        steps=jnp.zeros((), jnp.float32),
+    )
 
 
 def sh_column_lr(feature_lr: float, capacity_cols: int = 48) -> jnp.ndarray:

@@ -408,6 +408,41 @@ def _drain_pending_multi(ctx, pending, futures, grad_scale, step, stop_update):
         )
 
 
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3, 4),
+    static_argnames=("adam_cfg", "sparse_adam", "bsz"),
+)
+def _adam_tail(
+    params, opt_state, acc, xyz_grad_accum, denom, alive, lrs, adam_cfg,
+    sparse_adam: bool, bsz: int,
+):
+    """Device Adam for the 4 HBM groups + stat fold-in, ONE donated dispatch.
+
+    Donation matters at BigCity scale: the eager tail (grads = acc/bsz copies,
+    then adam_step op-by-op) held old params+moments, new params+moments, the
+    accumulator AND the scaled-grad copies live at once — ~+5.5 GB transient
+    at 25M rows, which OOM'd the 25M single-chip run while steady-state live
+    was only ~5 GB. Donating params/opt/acc/stats reuses those buffers
+    in place."""
+    grads = GaussianParams(
+        xyz=acc.g_xyz / bsz,
+        opacity=acc.g_opacity / bsz,
+        log_scale=acc.g_log_scale / bsz,
+        quat=acc.g_quat / bsz,
+        sh=jnp.zeros_like(params.sh),
+    )
+    update_mask = (alive & acc.vis_any) if sparse_adam else alive
+    new_params, new_opt = adam_step(
+        params, grads, opt_state, lrs, adam_cfg, update_mask
+    )
+    return (
+        new_params, new_opt,
+        xyz_grad_accum + acc.accum, denom + acc.denom,
+        acc.vis_any, acc.max_isects,
+    )
+
+
 def train_one_batch(
     state, opt_state, ctx: ClmContext, cams, gt, sh_degree,
     lrs, adam_cfg, background, width, height, isect_cap, cfg, timers=None,
@@ -722,31 +757,45 @@ def train_one_batch(
             tm.stop("clm.d2h_scatter")
         pending = new_pending
 
-    if acc is not None:
-        # unpack the fused accumulators (single-chain path)
-        gpu_grads = {
-            "xyz": acc.g_xyz, "opacity": acc.g_opacity,
-            "log_scale": acc.g_log_scale, "quat": acc.g_quat,
-        }
-        accum, denom, vis_any = acc.accum, acc.denom, acc.vis_any
-        max_isects = acc.max_isects
-
     # 5. device Adam for the 4 HBM groups
-    grads = GaussianParams(
-        xyz=gpu_grads["xyz"] / bsz,
-        opacity=gpu_grads["opacity"] / bsz,
-        log_scale=gpu_grads["log_scale"] / bsz,
-        quat=gpu_grads["quat"] / bsz,
-        sh=jnp.zeros_like(p.sh),
-    )
     gpu_lrs = {k: lrs[k] for k in ("xyz", "opacity", "log_scale", "quat")}
-    if stop_update:
-        new_params, new_opt = p, opt_state
-    else:
-        update_mask = (state.alive & vis_any) if sparse_adam else state.alive
-        new_params, new_opt = adam_step(
-            p, grads, opt_state, gpu_lrs, adam_cfg, update_mask
+    if acc is not None and not stop_update:
+        # single-chain path: grad scaling + Adam + stat fold-in as ONE
+        # donated dispatch (see _adam_tail: the eager version's transient
+        # old+new params/moments/grad copies OOM'd the 25M run)
+        (new_params, new_opt, new_accum, new_denom, vis_any, max_isects) = (
+            _adam_tail(
+                p, opt_state, acc, state.xyz_grad_accum, state.denom,
+                state.alive, gpu_lrs, adam_cfg, sparse_adam, bsz,
+            )
         )
+    else:
+        if acc is not None:
+            # stop_update: acc not donated, read the accumulators directly
+            gpu_grads = {
+                "xyz": acc.g_xyz, "opacity": acc.g_opacity,
+                "log_scale": acc.g_log_scale, "quat": acc.g_quat,
+            }
+            accum, denom, vis_any = acc.accum, acc.denom, acc.vis_any
+            max_isects = acc.max_isects
+        if stop_update:
+            new_params, new_opt = p, opt_state
+        else:
+            grads = GaussianParams(
+                xyz=gpu_grads["xyz"] / bsz,
+                opacity=gpu_grads["opacity"] / bsz,
+                log_scale=gpu_grads["log_scale"] / bsz,
+                quat=gpu_grads["quat"] / bsz,
+                sh=jnp.zeros_like(p.sh),
+            )
+            update_mask = (
+                (state.alive & vis_any) if sparse_adam else state.alive
+            )
+            new_params, new_opt = adam_step(
+                p, grads, opt_state, gpu_lrs, adam_cfg, update_mask
+            )
+        new_accum = state.xyz_grad_accum + accum
+        new_denom = state.denom + denom
 
     # 6. drain the final flush + join host workers (engine.py:898), measuring
     # the trailing overhead — how long the device sits idle waiting for the
@@ -781,8 +830,8 @@ def train_one_batch(
 
     new_state = GaussianState(
         params=new_params, alive=state.alive, n_alive=state.n_alive,
-        xyz_grad_accum=state.xyz_grad_accum + accum,
-        denom=state.denom + denom,
+        xyz_grad_accum=new_accum,
+        denom=new_denom,
         max_radii2d=state.max_radii2d,
     )
     return new_state, new_opt, ctx, StepOut(jnp.stack(losses), max_isects, vis_any)

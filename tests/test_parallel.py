@@ -64,19 +64,19 @@ def test_sharded_clm_matches_single_device():
     from clm_gs_tpu.parallel.mesh import shard_capacity_tree
     from clm_gs_tpu.strategies import clm_offload
 
-    state, cb = _scene(seed=7)
-    gts = _render_gts(state, cb)
-
-    def mk_cfg():
+    def mk_cfg(nb):
         cfg = Config()
         cfg.aux.clm_offload = True
-        cfg.opt.bsz = gts.shape[0]
+        cfg.opt.bsz = nb
         cfg.opt.lr_scale_mode = "accumu"
         init_config(cfg)
         return cfg
 
     def run(mesh):
-        cfg = mk_cfg()
+        # fresh state per run: the step's _adam_tail donates params/opt
+        state, cb = _scene(seed=7)
+        gts = _render_gts(state, cb)
+        cfg = mk_cfg(gts.shape[0])
         s = state
         ctx = clm_offload.make_context(cfg, s, AdamConfig())
         s = clm_offload.strip_device_sh(s)
@@ -253,19 +253,19 @@ def test_sharded_clm_data_chains_matches_single_device():
     from clm_gs_tpu.strategies import clm_offload
     from clm_gs_tpu.optim import AdamConfig as AC
 
-    state, cb = _scene(seed=11)
-    gts = _render_gts(state, cb)
-
-    def mk_cfg():
+    def mk_cfg(nb):
         cfg = Config()
         cfg.aux.clm_offload = True
-        cfg.opt.bsz = gts.shape[0]
+        cfg.opt.bsz = nb
         cfg.opt.lr_scale_mode = "accumu"
         init_config(cfg)
         return cfg
 
     def run(mesh, n_chains):
-        cfg = mk_cfg()
+        # fresh state per run: the step's _adam_tail donates params/opt
+        state, cb = _scene(seed=11)
+        gts = _render_gts(state, cb)
+        cfg = mk_cfg(gts.shape[0])
         s = state
         ctx = clm_offload.make_context(cfg, s, AC())
         s = clm_offload.strip_device_sh(s)

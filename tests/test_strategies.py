@@ -137,9 +137,11 @@ class TestRetention:
     def test_retention_matches_full_regather(self):
         """H/D/G delta transfers must be numerically identical to re-fetching
         every camera's full visible set (they only change traffic)."""
-        state, cb, gts = _perturbed(seed=2)
-
         def run(retention):
+            # fresh state per run: train_one_batch's _adam_tail DONATES the
+            # caller's params/opt buffers (by design — the transient
+            # old+new copy OOM'd the 25M record run)
+            state, cb, gts = _perturbed(seed=2)
             cfg = _mk_cfg("clm_offload")
             cfg.tpu.retention = retention
             ctx = clm_offload.make_context(cfg, state, AdamConfig())
@@ -242,9 +244,9 @@ class TestClmDataChains:
         """clm x data-parallel (n_chains=2): the lockstep chain loop must
         reproduce the single-chain trajectory — same math, different
         batching/ordering of the per-camera dispatches."""
-        state0, cb, gts = _perturbed(seed=4)
-
         def run(n_chains):
+            # fresh state per run (donated step buffers, see TestRetention)
+            state0, cb, gts = _perturbed(seed=4)
             cfg = _mk_cfg("clm_offload")
             ctx = clm_offload.make_context(cfg, state0, AdamConfig())
             state = clm_offload.strip_device_sh(state0)
