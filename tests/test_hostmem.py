@@ -70,9 +70,9 @@ def test_clm_batch_with_forced_device_kind_table():
     from tests.test_strategies import _mk_cfg, _perturbed
     from tests.test_train_synthetic import BG, H, ISECT_CAP, LRS, W
 
-    state0, cb, gts = _perturbed(seed=3)
-
     def run(enable):
+        # fresh state per run: the step's _adam_tail donates params/opt
+        state0, cb, gts = _perturbed(seed=3)
         cfg = _mk_cfg("clm_offload")
         ctx = clm_offload.make_context(cfg, state0, AdamConfig())
         if enable:
