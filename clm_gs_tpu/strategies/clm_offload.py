@@ -36,6 +36,7 @@ per-camera re-gather (same math, more traffic).
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field, replace
@@ -53,6 +54,8 @@ from clm_gs_tpu.strategies.no_offload import StepOut
 from clm_gs_tpu.utils import native
 from clm_gs_tpu.utils import timer
 from clm_gs_tpu.utils.general import round_up
+
+_SYNC_EVERY = int(os.environ.get("CLMGS_CLM_SYNC_EVERY", "0"))
 
 SH_COLS = 48
 _NULL_TIMER = timer.Timer(enabled=False)
@@ -691,6 +694,13 @@ def train_one_batch(
         )
         losses.append(loss)
         tm.stop("clm.micro", sync=loss)
+        if _SYNC_EVERY and (pos + 1) % _SYNC_EVERY == 0:
+            # CLMGS_CLM_SYNC_EVERY=k: bound async dispatch run-ahead. At
+            # BigCity scale the host can queue many cameras' programs ahead
+            # of the device; each queued execution pins its output buffers,
+            # and the allocation peak under a shared chip then exceeds what
+            # steady-state live bytes suggest.
+            jax.block_until_ready(loss)
 
         rows = finish_sets[pos]
         if pos == 0 and not sparse_adam and len(never_visible):

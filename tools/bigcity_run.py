@@ -28,11 +28,11 @@ def main():
         "--llffhold", "8", "--bsz", "64", "--iterations", str(iters),
         "--sparse_adam",
         "--load_ply_path", os.path.join(scene, "init_model.ply"),
-        "--prealloc_capacity", str(382 * 65536),  # 25.03M: snug, densify off
+        "--prealloc_capacity", os.environ.get("BIGCITY_CAP", str(382 * 65536)),
         "--test_iterations", *evals,
         "--save_iterations", "0",
         "--densify_until_iter", "0",
-        "--isect_cap", str(8 * 2**20),
+        "--isect_cap", os.environ.get("BIGCITY_ISECT", str(2 * 2**20)),
         "--check_gpu_memory", "--check_cpu_memory",
         "--log_interval", "64", "--quiet",
     ])
